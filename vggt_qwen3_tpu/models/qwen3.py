@@ -1,0 +1,215 @@
+"""Qwen3 dense decoder, pure-functional JAX.
+
+Architecture (matches HF ``Qwen3ForCausalLM`` for ``Qwen/Qwen3-4B-Instruct-2507``,
+the reference's text model — ``src/models/vggt_qwen3_vlm.py:36-40``):
+
+- token embedding (optionally tied to the LM head),
+- per layer: RMSNorm → GQA attention with per-head QK RMSNorm + RoPE → residual,
+  RMSNorm → SwiGLU MLP → residual,
+- final RMSNorm → LM head.
+
+TPU-first design notes:
+- All per-layer parameters are **stacked along a leading layer axis** and the
+  decoder runs as a single ``lax.scan`` — one compiled layer body regardless of
+  depth, fast compiles, and sharding specs that apply uniformly per layer.
+- KV caches are explicit arrays threaded through the scan; cache slots are
+  sequence indices (left-padding compatible) while rotary positions are supplied
+  separately, mirroring HF position-id semantics so decode parity holds.
+- Attention dispatches to the XLA reference path here; Pallas flash kernels
+  plug in via ``ops.flash_attention`` (same signature) on the hot paths.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Qwen3Config
+from ..ops.attention import combine_masks, make_causal_mask, mha
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rope, rope_cos_sin
+
+Params = Dict[str, jnp.ndarray]
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def init_params(rng: jax.Array, cfg: Qwen3Config, dtype: Optional[str] = None) -> Params:
+    """Random init (normal(0.02) linears/embeddings, unit norms), HF-style."""
+    dt = jnp.dtype(dtype or cfg.dtype)
+    keys = jax.random.split(rng, 8)
+
+    def normal(key, shape):
+        return (jax.random.normal(key, shape, dtype=jnp.float32) * 0.02).astype(dt)
+
+    L, H, F = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    D, NH, NKV = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
+    params: Params = {
+        "embed": normal(keys[0], (cfg.vocab_size, H)),
+        "final_norm": jnp.ones((H,), dtype=dt),
+        "layers": {
+            "ln1": jnp.ones((L, H), dtype=dt),
+            "ln2": jnp.ones((L, H), dtype=dt),
+            "wq": normal(keys[1], (L, H, NH * D)),
+            "wk": normal(keys[2], (L, H, NKV * D)),
+            "wv": normal(keys[3], (L, H, NKV * D)),
+            "wo": normal(keys[4], (L, NH * D, H)),
+            "q_norm": jnp.ones((L, D), dtype=dt),
+            "k_norm": jnp.ones((L, D), dtype=dt),
+            "gate": normal(keys[5], (L, H, F)),
+            "up": normal(keys[6], (L, H, F)),
+            "down": normal(keys[7], (L, F, H)),
+        },
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = normal(jax.random.fold_in(rng, 99), (H, cfg.vocab_size))
+    return params
+
+
+def init_cache(
+    cfg: Qwen3Config, batch: int, max_len: int, dtype: Optional[str] = None
+) -> Dict[str, jnp.ndarray]:
+    """Contiguous KV cache: k/v of shape [L, B, max_len, NKV, D]."""
+    dt = jnp.dtype(dtype or cfg.dtype)
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype=dt), "v": jnp.zeros(shape, dtype=dt)}
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def embed_tokens(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
+    return params["embed"][input_ids]
+
+
+def _layer_step(cfg: Qwen3Config, h, lp, kc, vc, cos, sin, mask, cache_offset):
+    """One decoder layer. ``kc``/``vc`` are this layer's cache slices
+    ([B, T, NKV, D]) or None when running cache-free."""
+    B, S, H = h.shape
+    D, NH, NKV = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
+
+    x = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
+    q = (x @ lp["wq"]).reshape(B, S, NH, D)
+    k = (x @ lp["wk"]).reshape(B, S, NKV, D)
+    v = (x @ lp["wv"]).reshape(B, S, NKV, D)
+    q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+    k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if kc is not None:
+        kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, cache_offset, 0, 0))
+        vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, cache_offset, 0, 0))
+        k_all, v_all = kc, vc
+    else:
+        k_all, v_all = k, v
+
+    attn = mha(q, k_all, v_all, mask=mask)
+    h = h + attn.reshape(B, S, NH * D) @ lp["wo"]
+
+    x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
+    gated = jax.nn.silu(x @ lp["gate"]) * (x @ lp["up"])
+    h = h + gated @ lp["down"]
+    return h, kc, vc
+
+
+def forward_hidden(
+    params: Params,
+    cfg: Qwen3Config,
+    inputs_embeds: jnp.ndarray,
+    *,
+    attention_mask: Optional[jnp.ndarray] = None,
+    positions: Optional[jnp.ndarray] = None,
+    cache: Optional[Dict[str, jnp.ndarray]] = None,
+    cache_offset: int | jnp.ndarray = 0,
+) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
+    """Run the decoder stack.
+
+    Args:
+        inputs_embeds: [B, S, H].
+        attention_mask: [B, T] over key positions (T = cache length when a
+            cache is passed, else S); 1 = valid. None = all valid.
+        positions: [B, S] rotary positions; defaults to
+            ``cache_offset + arange(S)``.
+        cache: optional KV cache from :func:`init_cache`; updated copy returned.
+        cache_offset: slot index where this segment's KV entries are written.
+    Returns:
+        (hidden [B, S, H], updated cache or None)
+    """
+    B, S, _ = inputs_embeds.shape
+    kv_len = cache["k"].shape[2] if cache is not None else S
+
+    if positions is None:
+        positions = cache_offset + jnp.arange(S)[None, :]
+        positions = jnp.broadcast_to(positions, (B, S))
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    causal = make_causal_mask(S, kv_len, q_offset=cache_offset)[None, None]
+    pad = None
+    if attention_mask is not None:
+        pad = attention_mask[:, None, None, :].astype(bool)
+    mask = combine_masks(causal, pad)
+
+    h = inputs_embeds
+
+    if cache is not None:
+        def body(h, xs):
+            lp, kc, vc = xs
+            h, kc, vc = _layer_step(cfg, h, lp, kc, vc, cos, sin, mask, cache_offset)
+            return h, (kc, vc)
+
+        h, (k_new, v_new) = jax.lax.scan(body, h, (params["layers"], cache["k"], cache["v"]))
+        new_cache = {"k": k_new, "v": v_new}
+    else:
+        def body(h, lp):
+            h, _, _ = _layer_step(cfg, h, lp, None, None, cos, sin, mask, 0)
+            return h, None
+
+        h, _ = jax.lax.scan(body, h, params["layers"])
+        new_cache = None
+
+    h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    return h, new_cache
+
+
+def lm_logits(params: Params, cfg: Qwen3Config, hidden: jnp.ndarray) -> jnp.ndarray:
+    """LM head; float32 logits (HF computes loss/logits in fp32)."""
+    if cfg.tie_word_embeddings:
+        w = params["embed"].T
+    else:
+        w = params["lm_head"]
+    return jnp.einsum("bsh,hv->bsv", hidden, w, preferred_element_type=jnp.float32)
+
+
+def forward(
+    params: Params,
+    cfg: Qwen3Config,
+    *,
+    input_ids: Optional[jnp.ndarray] = None,
+    inputs_embeds: Optional[jnp.ndarray] = None,
+    attention_mask: Optional[jnp.ndarray] = None,
+    positions: Optional[jnp.ndarray] = None,
+    cache: Optional[Dict[str, jnp.ndarray]] = None,
+    cache_offset: int | jnp.ndarray = 0,
+) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
+    """Full forward → (float32 logits [B, S, V], updated cache)."""
+    if inputs_embeds is None:
+        assert input_ids is not None
+        inputs_embeds = embed_tokens(params, input_ids)
+    hidden, new_cache = forward_hidden(
+        params,
+        cfg,
+        inputs_embeds,
+        attention_mask=attention_mask,
+        positions=positions,
+        cache=cache,
+        cache_offset=cache_offset,
+    )
+    return lm_logits(params, cfg, hidden), new_cache

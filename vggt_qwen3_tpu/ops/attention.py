@@ -1,0 +1,74 @@
+"""Reference (pure-XLA) multi-head attention with GQA support.
+
+This is the numerics oracle and fallback path; the hot paths dispatch to the
+Pallas flash-attention kernels in ``ops/flash_attention.py`` when shapes allow.
+Softmax statistics are computed in float32 and the probability matrix is cast
+back to the value dtype before the PV matmul — the same recipe HF eager
+attention uses, which keeps bf16 parity with the PyTorch reference.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+def make_causal_mask(q_len: int, kv_len: int, *, q_offset: int = 0) -> jnp.ndarray:
+    """Boolean [q_len, kv_len] mask, True = may attend. ``q_offset`` shifts the
+    query positions (used when decoding with a KV cache)."""
+    q_pos = jnp.arange(q_len)[:, None] + q_offset
+    kv_pos = jnp.arange(kv_len)[None, :]
+    return kv_pos <= q_pos
+
+
+def combine_masks(*masks: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
+    """AND together optional boolean masks (broadcasting)."""
+    present = [m for m in masks if m is not None]
+    if not present:
+        return None
+    out = present[0]
+    for m in present[1:]:
+        out = jnp.logical_and(out, m)
+    return out
+
+
+def mha(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Grouped-query attention.
+
+    Args:
+        q: [B, S, NH, D]
+        k, v: [B, T, NKV, D] with NH % NKV == 0
+        mask: optional boolean, broadcastable to [B, NH, S, T]; True = attend.
+        scale: defaults to D**-0.5.
+    Returns:
+        [B, S, NH, D] in q's dtype.
+    """
+    B, S, NH, D = q.shape
+    _, T, NKV, _ = k.shape
+    assert NH % NKV == 0, (NH, NKV)
+    group = NH // NKV
+    if scale is None:
+        scale = D**-0.5
+
+    if group > 1:
+        k = jnp.repeat(k, group, axis=2)
+        v = jnp.repeat(v, group, axis=2)
+
+    scores = jnp.einsum(
+        "bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    probs = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    probs = probs.astype(v.dtype)
+    out = jnp.einsum("bhst,bthd->bshd", probs, v)
+    return out.astype(q.dtype)
