@@ -1,0 +1,159 @@
+"""Autoregressive generation engine: one jitted prefill + one jitted decode scan.
+
+Replaces the reference's HF ``generate`` loop (``qa_inference.py:207-216``,
+``arkit_inference.py:274-284``) with a fixed-shape, compile-once design:
+
+- prefill runs the whole (possibly embedding-spliced) prompt in one forward,
+- decoding is a single ``lax.scan`` of ``max_new_tokens`` steps over the KV
+  cache — no per-token Python, no retracing across calls with equal shapes,
+- logit processors (repetition penalty, no-repeat-ngram) reproduce HF
+  semantics including the inputs_embeds subtlety (see ``ops/sampling.py``),
+- finished rows emit ``pad_token_id`` (HF padding behavior after EOS).
+
+Works with token ids or pre-spliced ``inputs_embeds`` (the vision path).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Qwen3Config
+from ..models import qwen3
+from ..ops.sampling import apply_no_repeat_ngram, apply_repetition_penalty, greedy_token
+
+
+@dataclass(frozen=True)
+class GenerationConfig:
+    max_new_tokens: int = 64
+    eos_token_id: Optional[int] = None
+    pad_token_id: int = 0
+    repetition_penalty: float = 1.0
+    no_repeat_ngram: int = 0
+    # When True, the prompt ids participate in the penalty/ngram sets (HF
+    # text-only call). When generating from inputs_embeds, HF starts its
+    # rolling input_ids empty, so this must be False for that path.
+    penalize_prompt: bool = False
+
+
+def _processors(logits, seen_ids, seen_len, gen_cfg: GenerationConfig):
+    logits = apply_repetition_penalty(logits, seen_ids, seen_len, gen_cfg.repetition_penalty)
+    logits = apply_no_repeat_ngram(logits, seen_ids, seen_len, gen_cfg.no_repeat_ngram)
+    return logits
+
+
+@partial(jax.jit, static_argnames=("cfg", "gen_cfg"))
+def generate(
+    params,
+    cfg: Qwen3Config,
+    gen_cfg: GenerationConfig,
+    *,
+    inputs_embeds: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    prompt_ids: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy generation.
+
+    Args:
+        inputs_embeds: [B, S, H] prompt embeddings (token embeddings already
+            looked up, vision tokens possibly spliced in).
+        attention_mask: [B, S] 1 = valid prompt position (left padding ok).
+        prompt_ids: [B, S] ids backing the prompt; only consulted when
+            ``gen_cfg.penalize_prompt`` (text-only ARKit fallback path).
+    Returns:
+        (tokens [B, max_new_tokens] int32 — pad-filled after EOS,
+         lengths [B] int32 — number of generated tokens incl. EOS)
+    """
+    B, S, _ = inputs_embeds.shape
+    N = gen_cfg.max_new_tokens
+    total = S + N
+
+    cache = qwen3.init_cache(cfg, B, total, dtype=cfg.dtype)
+    mask = jnp.zeros((B, total), jnp.int32)
+    mask = mask.at[:, :S].set(attention_mask.astype(jnp.int32))
+    positions = jnp.maximum(jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1, 0)
+
+    logits, cache = qwen3.forward(
+        params, cfg, inputs_embeds=inputs_embeds,
+        attention_mask=mask, positions=positions, cache=cache, cache_offset=0,
+    )
+    next_logits = logits[:, -1]
+    next_pos = positions[:, -1] + 1
+
+    # Visible-token buffer for the logit processors.
+    seen_cap = (S if gen_cfg.penalize_prompt else 0) + N
+    seen_ids = jnp.zeros((B, seen_cap), jnp.int32)
+    if gen_cfg.penalize_prompt:
+        ids = prompt_ids if prompt_ids is not None else jnp.zeros((B, S), jnp.int32)
+        seen_ids = seen_ids.at[:, :S].set(ids.astype(jnp.int32))
+        seen_len = attention_mask.astype(jnp.int32).sum(-1)
+        # NOTE: with left padding the pad ids sit in the buffer but HF includes
+        # everything in input_ids too (pads included); we include only valid
+        # count — pads are masked out by seen_len ordering in the right-pad
+        # case. For left-pad text prompts HF penalizes pad ids as well; that
+        # path is not exercised by the reference (batch=1), so we keep the
+        # cleaner semantics.
+        write_at = seen_len
+    else:
+        seen_len = jnp.zeros((B,), jnp.int32)
+        write_at = seen_len
+
+    done = jnp.zeros((B,), bool)
+
+    def step(carry, t):
+        cache, mask, next_logits, next_pos, seen_ids, seen_len, done = carry
+        logits = _processors(next_logits, seen_ids, seen_len, gen_cfg)
+        tok = greedy_token(logits)
+        out_tok = jnp.where(done, gen_cfg.pad_token_id, tok)
+        if gen_cfg.eos_token_id is not None:
+            done_next = done | (tok == gen_cfg.eos_token_id)
+        else:
+            done_next = done
+        # record into seen buffer (even pads for finished rows — harmless,
+        # outputs are forced to pad and finished rows' logits are ignored)
+        seen_ids = seen_ids.at[jnp.arange(B), write_at + t].set(out_tok)
+        seen_len = seen_len + 1
+
+        mask = mask.at[:, S + t].set(1)
+        emb = qwen3.embed_tokens(params, out_tok[:, None])
+        logits_new, cache = qwen3.forward(
+            params, cfg, inputs_embeds=emb, attention_mask=mask,
+            positions=(next_pos + t)[:, None], cache=cache, cache_offset=S + t,
+        )
+        carry = (cache, mask, logits_new[:, 0], next_pos, seen_ids, seen_len, done_next)
+        return carry, out_tok
+
+    carry = (cache, mask, next_logits, next_pos, seen_ids, seen_len, done)
+    _, toks = jax.lax.scan(step, carry, jnp.arange(N))
+    tokens = jnp.transpose(toks, (1, 0))  # [B, N]
+
+    if gen_cfg.eos_token_id is not None:
+        is_eos = tokens == gen_cfg.eos_token_id
+        seen_eos = jnp.cumsum(is_eos.astype(jnp.int32), axis=-1) - is_eos.astype(jnp.int32)
+        alive = seen_eos == 0
+        lengths = alive.astype(jnp.int32).sum(-1)
+    else:
+        lengths = jnp.full((B,), N, jnp.int32)
+    return tokens, lengths
+
+
+def generate_text(
+    params,
+    cfg: Qwen3Config,
+    gen_cfg: GenerationConfig,
+    *,
+    input_ids: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Text-only convenience wrapper (embeds looked up from ids)."""
+    if attention_mask is None:
+        attention_mask = jnp.ones_like(input_ids)
+    embeds = qwen3.embed_tokens(params, input_ids)
+    return generate(
+        params, cfg, gen_cfg,
+        inputs_embeds=embeds, attention_mask=attention_mask, prompt_ids=input_ids,
+    )
