@@ -92,11 +92,16 @@ class VGGTConfig:
     img_size: int = 518
     patch_size: int = 14
     embed_dim: int = 1_024
-    num_layers: int = 24
+    num_layers: int = 24  # alternating frame/global pairs
     num_heads: int = 16
     mlp_ratio: float = 4.0
     num_register_tokens: int = 4
     layer_norm_eps: float = 1e-6
+    # DINOv2 ViT-L/14 patch-feature backbone inside the aggregator.
+    patch_depth: int = 24
+    patch_ls_init: float = 1e-5  # DINOv2 LayerScale init
+    agg_ls_init: float = 0.01  # aggregator-block LayerScale init (public VGGT)
+    rope_freq: float = 100.0  # 2D rope base for aggregator blocks
     dtype: str = "bfloat16"
 
     @property
@@ -121,6 +126,7 @@ VGGT_TINY = VGGTConfig(
     num_layers=2,
     num_heads=2,
     num_register_tokens=4,
+    patch_depth=2,
 )
 
 
@@ -135,6 +141,8 @@ class PerceiverConfig:
     num_layers: int = 6
     ffn_dim: int = 16_384
     dropout: float = 0.1
+    # torch nn.LayerNorm default — the reference never overrides it.
+    layer_norm_eps: float = 1e-5
 
 
 @dataclass(frozen=True)

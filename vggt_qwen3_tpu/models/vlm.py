@@ -1,0 +1,214 @@
+"""Composed vision-language model: VGGT → Perceiver → [geom] → Qwen3.
+
+Re-architects ``VGGTQwen3VLM`` (``src/models/vggt_qwen3_vlm.py:26-201``) as
+pure functions over one param tree:
+
+- :func:`encode_images` — frozen VGGT aggregator → take first
+  ``num_vis_tokens`` of the flattened last-layer tokens → Perceiver
+  (``vggt_qwen3_vlm.py:128-162``). The mock backend emits zero tokens of dim
+  ``mock_vision_dim`` while honoring the *current* ``(tokens_list,
+  patch_start_idx)`` tuple contract — fixing the stale reference mock
+  (SURVEY.md §2.3).
+- :func:`encode_geom` — 37-dim features → MLP → broadcast to ``geom_tokens``
+  (``vggt_qwen3_vlm.py:164-177``).
+- :func:`splice_overwrite` — the reference **training** splice: embeddings at
+  ``pos : pos+F`` after the first ``<image>`` are overwritten in place, the
+  sequence does not grow (``vggt_qwen3_vlm.py:190-195``). Known reference
+  quirk: with prompt ``{q}\\n<image>\\n{answer}`` this clobbers answer-token
+  embeddings whose labels stay supervised; we reproduce it for training parity
+  and keep the inference semantics separate (SURVEY.md §7.3 item 5).
+- :func:`splice_expand` — the reference **inference** splice: the first
+  ``<image>`` token is replaced by the full F-token span, expanding sequence
+  and mask (``qa_inference.py:119-145``). EM@1 parity is measured through
+  this path.
+- :func:`train_forward` — loss with HF causal-LM shift and −100 masking.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import VLMConfig
+from . import geom as geom_mod
+from . import perceiver, qwen3, vggt
+
+Params = Dict[str, object]
+
+
+# ---------------------------------------------------------------------------
+# Init / assembly
+# ---------------------------------------------------------------------------
+
+
+def init_params(rng: jax.Array, cfg: VLMConfig, dtype: Optional[str] = None) -> Params:
+    dt = dtype or cfg.dtype
+    k_text, k_vis, k_proj, k_geom = jax.random.split(rng, 4)
+    params: Params = {
+        "text": qwen3.init_params(k_text, cfg.text, dtype=dt),
+        "projector": perceiver.init_params(
+            k_proj, cfg.projector, in_dim=cfg.vision_out_dim,
+            out_dim=cfg.text.hidden_size, dtype=dt,
+        ),
+        "geom": geom_mod.init_params(k_geom, cfg.text.hidden_size, dtype=dt),
+    }
+    if cfg.vision_backbone != "mock" and cfg.vision is not None:
+        params["vision"] = vggt.init_params(k_vis, cfg.vision, dtype=dt)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Encoders
+# ---------------------------------------------------------------------------
+
+
+def mock_aggregator(cfg: VLMConfig, images: jnp.ndarray) -> Tuple[list, int]:
+    """Zero-token stand-in honoring the real tuple contract."""
+    B, S = images.shape[:2]
+    tokens = jnp.zeros((B, S, cfg.num_vis_tokens, cfg.mock_vision_dim), images.dtype)
+    return [tokens], 5
+
+
+def encode_images(
+    params: Params, cfg: VLMConfig, images: jnp.ndarray, *, rng: Optional[jax.Array] = None
+) -> jnp.ndarray:
+    """[B, V, 3, H, W] in [0,1] → [B, num_vis_tokens, text_hidden].
+
+    The vision tower is frozen (``freeze_vision`` default true); training wraps
+    it in ``stop_gradient`` (reference uses ``@torch.no_grad`` —
+    ``vggt_qwen3_vlm.py:128``).
+    """
+    B = images.shape[0]
+    if cfg.vision_backbone == "mock":
+        tokens_list, _ = mock_aggregator(cfg, images)
+    else:
+        tokens_list, _ = vggt.aggregator(params["vision"], cfg.vision, images)
+    agg = tokens_list[-1]  # [B, S, T, D]
+    agg = agg.reshape(B, -1, agg.shape[-1])[:, : cfg.num_vis_tokens, :]
+    if cfg.freeze_vision:
+        agg = jax.lax.stop_gradient(agg)
+    return perceiver.apply(params["projector"], cfg.projector, agg, rng=rng)
+
+
+def encode_geom(
+    params: Params, cfg: VLMConfig, geom: Optional[Mapping[str, jnp.ndarray]]
+) -> Optional[jnp.ndarray]:
+    return geom_mod.apply(params["geom"], geom, cfg.geom_tokens)
+
+
+# ---------------------------------------------------------------------------
+# Splice ops
+# ---------------------------------------------------------------------------
+
+
+def _first_image_pos(input_ids: jnp.ndarray, image_token_id: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(pos [B], has_image [B]) of the first ``<image>`` occurrence per row."""
+    is_img = input_ids == image_token_id
+    has = is_img.any(axis=-1)
+    pos = jnp.argmax(is_img, axis=-1)
+    return pos, has
+
+
+def splice_overwrite(
+    inputs_embeds: jnp.ndarray,
+    input_ids: jnp.ndarray,
+    features: jnp.ndarray,
+    image_token_id: int,
+) -> jnp.ndarray:
+    """Training splice: overwrite embeds[pos : pos+F] with ``features``; length
+    unchanged (``vggt_qwen3_vlm.py:190-195``)."""
+    B, T, H = inputs_embeds.shape
+    F = features.shape[1]
+    pos, has = _first_image_pos(input_ids, image_token_id)
+    rel = jnp.arange(T)[None, :] - pos[:, None]  # [B, T]
+    valid = (rel >= 0) & (rel < F) & has[:, None]
+    gathered = jnp.take_along_axis(
+        features, jnp.clip(rel, 0, F - 1)[:, :, None].astype(jnp.int32), axis=1
+    )
+    return jnp.where(valid[:, :, None], gathered.astype(inputs_embeds.dtype), inputs_embeds)
+
+
+def splice_expand(
+    inputs_embeds: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    input_ids: jnp.ndarray,
+    features: jnp.ndarray,
+    image_token_id: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inference splice: replace the first ``<image>`` token by the F-token
+    feature span — sequence grows by F−1 (``qa_inference.py:119-145``).
+
+    Rows without ``<image>`` are right-aligned unchanged (suffix path), so the
+    no-image fallback matches the reference's early-return behavior.
+    """
+    B, T, H = inputs_embeds.shape
+    F = features.shape[1]
+    out_T = T + F - 1
+    pos, has = _first_image_pos(input_ids, image_token_id)
+    pos = jnp.where(has, pos, T)  # no image → all positions take prefix/suffix path
+
+    j = jnp.arange(out_T)[None, :]  # [B, out_T]
+    p = pos[:, None]
+    in_prefix = j < p
+    in_vis = (j >= p) & (j < p + F)
+    # suffix source index: j - (F - 1)
+    src_txt = jnp.where(in_prefix, j, jnp.clip(j - (F - 1), 0, T - 1)).astype(jnp.int32)
+    src_vis = jnp.clip(j - p, 0, F - 1).astype(jnp.int32)
+
+    txt = jnp.take_along_axis(inputs_embeds, src_txt[:, :, None], axis=1)
+    vis = jnp.take_along_axis(features.astype(inputs_embeds.dtype), src_vis[:, :, None], axis=1)
+    embeds = jnp.where(in_vis[:, :, None], vis, txt)
+
+    mask_txt = jnp.take_along_axis(attention_mask, src_txt, axis=1)
+    mask = jnp.where(in_vis, 1, mask_txt).astype(attention_mask.dtype)
+    # rows without <image>: positions beyond original T are padding
+    overflow = (~has[:, None]) & (j >= T)
+    mask = jnp.where(overflow, 0, mask)
+    return embeds, mask
+
+
+# ---------------------------------------------------------------------------
+# Training forward / loss
+# ---------------------------------------------------------------------------
+
+
+def causal_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """HF CausalLM loss: shift-by-one CE, mean over labels != −100."""
+    logits = logits[:, :-1].astype(jnp.float32)
+    targets = labels[:, 1:]
+    valid = targets != -100
+    safe_targets = jnp.where(valid, targets, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_targets[:, :, None], axis=-1)[:, :, 0]
+    total = jnp.where(valid, nll, 0.0).sum()
+    count = jnp.maximum(valid.sum(), 1)
+    return total / count
+
+
+def train_forward(
+    params: Params,
+    cfg: VLMConfig,
+    *,
+    images: jnp.ndarray,
+    geom_token: Optional[Mapping[str, jnp.ndarray]],
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    labels: jnp.ndarray,
+    image_token_id: int,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Training loss, reference semantics (``vggt_qwen3_vlm.py:179-201``):
+    geom tokens (when present) are concatenated **before** visual tokens and
+    the combined span overwrites embeddings at the first ``<image>``."""
+    vis = encode_images(params, cfg, images, rng=rng)
+    geom_feats = encode_geom(params, cfg, geom_token)
+    features = vis if geom_feats is None else jnp.concatenate([geom_feats, vis], axis=1)
+
+    embeds = qwen3.embed_tokens(params["text"], input_ids)
+    embeds = splice_overwrite(embeds, input_ids, features, image_token_id)
+    logits, _ = qwen3.forward(
+        params["text"], cfg.text, inputs_embeds=embeds, attention_mask=attention_mask
+    )
+    return causal_lm_loss(logits, labels)
