@@ -1,0 +1,123 @@
+"""Multi-view collator: samples → model-ready batches.
+
+Reproduces the reference collator (``src/dataio/collate_multiview.py:22-102``):
+
+- per view: bicubic shorter-side resize → center crop → [0,1] CHW (our XLA
+  preprocessing graph instead of torchvision),
+- prompt ``f"{question}\\n<image>\\n"`` with the answer appended; non-string
+  answers JSON-serialized (``:43-49``),
+- labels: −100 on prompt and padding, answer ids supervised; sequences
+  truncated to ``max_length`` **before** padding (``:60-67``),
+- right-padding to at least ``num_vis_tokens + geom_tokens + 64`` so the
+  training overwrite-splice has room (``:30,69-70``),
+- geom dict stacked with zero-fill for missing entries plus a presence mask
+  (``:81-95``).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..ops.preprocess import preprocess_views
+from .tokenizer import IMAGE_TOKEN
+
+GEOM_KEYS = ("R", "t", "K", "depth_hist")
+
+
+class MultiViewCollator:
+    def __init__(
+        self,
+        image_size: int,
+        tokenizer,
+        max_length: int,
+        num_vis_tokens: int = 128,
+        geom_tokens: int = 8,
+    ) -> None:
+        self.image_size = image_size
+        self.tokenizer = tokenizer
+        self.max_length = max_length
+        self.min_text_length = num_vis_tokens + geom_tokens + 64
+
+    def _encode(self, text: str) -> List[int]:
+        enc = self.tokenizer(text, add_special_tokens=False)
+        return list(enc["input_ids"])
+
+    def __call__(self, batch: List[Dict]) -> Dict[str, Optional[np.ndarray]]:
+        pixel, ids_list, labels_list, geoms = [], [], [], []
+        for sample in batch:
+            views = preprocess_views(sample["images"], self.image_size)
+            pixel.append(np.asarray(views))
+            answer_obj = sample["answer"]
+            answer = answer_obj if isinstance(answer_obj, str) else json.dumps(
+                answer_obj, ensure_ascii=False
+            )
+            prompt = f"{sample['question']}\n{IMAGE_TOKEN}\n"
+            prompt_ids = self._encode(prompt)
+            answer_ids = self._encode(answer)
+            ids = (prompt_ids + answer_ids)[: self.max_length]
+            labels = ([-100] * len(prompt_ids) + answer_ids)[: self.max_length]
+            ids_list.append(ids)
+            labels_list.append(labels)
+            geoms.append(sample.get("geom_token"))
+
+        pad_id = self.tokenizer.pad_token_id
+        max_len = max(max(len(i) for i in ids_list), self.min_text_length)
+        input_ids = np.full((len(batch), max_len), pad_id, np.int32)
+        labels = np.full((len(batch), max_len), -100, np.int32)
+        for b, (ids, labs) in enumerate(zip(ids_list, labels_list)):
+            input_ids[b, : len(ids)] = ids
+            labels[b, : len(labs)] = labs
+        attention_mask = (input_ids != pad_id).astype(np.int32)
+
+        geom_batch = None
+        if any(g is not None for g in geoms):
+            template = next(g for g in geoms if g is not None)
+            geom_batch = {}
+            for key in template:
+                tmpl = np.asarray(template[key], np.float32)
+                rows = [
+                    np.asarray(g[key], np.float32) if g is not None else np.zeros_like(tmpl)
+                    for g in geoms
+                ]
+                stacked = np.stack(rows, axis=0)
+                if stacked.ndim == 2:  # [B, k] → [B, V=1, k] for view pooling
+                    stacked = stacked[:, None, :]
+                geom_batch[key] = stacked
+            geom_batch["mask"] = np.asarray([g is not None for g in geoms], bool)
+
+        return {
+            "pixel_values": np.stack(pixel, axis=0),  # [B, V, 3, S, S]
+            "geom_token": geom_batch,
+            "input_ids": input_ids,
+            "attention_mask": attention_mask,
+            "labels": labels,
+        }
+
+
+def data_loader(dataset, collator, batch_size: int, *, shuffle: bool = True, seed: int = 42):
+    """Minimal epoch-cycling loader (the reference uses torch DataLoader with
+    shuffle — train_sft.py:58-63); yields collated numpy batches forever.
+
+    Batches draw from a continuous shuffled index stream across epoch
+    boundaries, so ``batch_size > len(dataset)`` still yields full batches."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    n = len(dataset)
+    if n == 0:
+        raise ValueError("empty dataset")
+
+    def index_stream():
+        while True:
+            order = list(range(n))
+            if shuffle:
+                rng.shuffle(order)
+            yield from order
+
+    stream = index_stream()
+    while True:
+        idxs = [next(stream) for _ in range(batch_size)]
+        yield collator([dataset[i] for i in idxs])

@@ -1,0 +1,123 @@
+"""Datasets: lazy multi-view JSON/JSONL reader + mixed-ratio multi-source.
+
+Re-implements the reference data layer (``src/dataio/dataset_builder.py``)
+without torch:
+
+- :class:`MultiViewJsonDataset` — glob over .json/.jsonl files; dict payloads
+  unwrap ``data``/``samples``; records normalize to ``{images, geom_token,
+  question|instruction, answer|action_json, task, scene_id}``
+  (``dataset_builder.py:24-88``); image paths resolve with the ``data/raw``
+  fallback (``:62-75``); images load as RGB uint8 numpy arrays.
+- :class:`MultiSourceDataset` — the reference's mix-ratio interleave kept
+  quirks-and-all (SURVEY.md §7.2 step 7): a ~100-slot schedule from the
+  ratios, ``random.Random(0)``, random-with-replacement sampling
+  (``dataset_builder.py:91-117``).
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+import json
+import random
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class DatasetConfig:
+    path_glob: str
+    num_views: int
+    image_size: int
+    task: str
+    root: Optional[str] = None  # base dir for relative paths (default: cwd)
+
+
+class MultiViewJsonDataset:
+    def __init__(self, config: DatasetConfig) -> None:
+        self.config = config
+        pattern = config.path_glob
+        root = Path(config.root) if config.root else Path()
+        pattern_path = Path(pattern)
+        if pattern_path.is_file():
+            files = [pattern_path]
+        elif pattern_path.is_absolute():
+            files = sorted(Path(p) for p in globlib.glob(pattern))
+        else:
+            files = sorted(root.glob(pattern))
+        self.files = files
+        self.index: List[Dict] = []
+        for file in files:
+            if file.suffix == ".jsonl":
+                with open(file, "r", encoding="utf-8") as f:
+                    for line in f:
+                        line = line.strip()
+                        if line:
+                            self.index.append(json.loads(line))
+            else:
+                records = json.loads(file.read_text(encoding="utf-8"))
+                if isinstance(records, dict):
+                    records = records.get("data") or records.get("samples") or []
+                if not isinstance(records, list):
+                    raise ValueError(f"expected a JSON array in {file}")
+                self.index.extend(records)
+        if not self.index:
+            raise FileNotFoundError(f"no samples found for pattern {config.path_glob}")
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+    def _load_image(self, rel_path: str) -> np.ndarray:
+        from PIL import Image
+
+        root = Path(self.config.root) if self.config.root else Path()
+        p = Path(rel_path)
+        candidates = [p] if p.is_absolute() else [root / p, root / "data" / "raw" / p]
+        for cand in candidates:
+            if cand.exists():
+                return np.asarray(Image.open(cand).convert("RGB"))
+        tried = ", ".join(str(c) for c in candidates)
+        raise FileNotFoundError(f"image not found: tried {tried}")
+
+    def meta(self, idx: int) -> Dict:
+        """Raw record metadata without loading images (qa_inference.py:353)."""
+        return self.index[idx]
+
+    def __getitem__(self, idx: int) -> Dict:
+        sample = self.index[idx]
+        images = sample["images"][: self.config.num_views]
+        return {
+            "images": [self._load_image(img) for img in images],
+            "geom_token": sample.get("geom_token"),
+            "question": sample.get("question") or sample.get("instruction"),
+            "answer": sample.get("answer") or sample.get("action_json"),
+            "task": sample.get("task", self.config.task),
+            "scene_id": sample.get("scene_id"),
+        }
+
+
+class MultiSourceDataset:
+    """Mix-ratio interleave (reference semantics, including randomness)."""
+
+    def __init__(self, datasets: Dict[str, MultiViewJsonDataset], mix_ratio: Dict[str, float]):
+        self.datasets = datasets
+        self.mix_ratio = mix_ratio
+        self.order = self._build_schedule()
+        self.total_length = sum(len(v) for v in datasets.values())
+        self.random = random.Random(0)
+
+    def _build_schedule(self) -> List[str]:
+        total = sum(self.mix_ratio.values())
+        schedule: List[str] = []
+        for name, weight in self.mix_ratio.items():
+            schedule.extend([name] * max(1, int(round(weight / total * 100))))
+        return schedule
+
+    def __len__(self) -> int:
+        return self.total_length
+
+    def __getitem__(self, idx: int) -> Dict:
+        ds = self.datasets[self.order[idx % len(self.order)]]
+        return ds[self.random.randint(0, len(ds) - 1)]

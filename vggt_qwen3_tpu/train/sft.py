@@ -1,0 +1,217 @@
+"""SFT training CLI.
+
+TPU-idiomatic replacement for the reference's ``accelerate launch
+src/train/train_sft.py`` + ``train_fixed.sh`` stack (SURVEY.md §2.9, §3.1):
+no memory probing or NCCL env zoo — a typed CLI, a device mesh, and jit.
+
+Usage (reference stage YAMLs load unmodified):
+
+    python -m vggt_qwen3_tpu.train.sft --config configs/stage1_3d.yaml \
+        --output_dir ckpts/stage1 [--max_steps N] [--dp 1 --fsdp 8 --tp 1] \
+        [--mock_vision] [--tiny] [--resume] [--data_root DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (
+    MeshConfig,
+    PerceiverConfig,
+    Qwen3Config,
+    QWEN3_TINY,
+    VGGT_TINY,
+    load_stage_config,
+)
+from ..data.collator import MultiViewCollator, data_loader
+from ..data.dataset import DatasetConfig, MultiSourceDataset, MultiViewJsonDataset
+from ..data.tokenizer import IMAGE_TOKEN, load_tokenizer
+from ..parallel.mesh import build_mesh
+from ..parallel.sharding import batch_sharding
+from ..utils.logging import MetricLogger
+from . import checkpoint as ckpt
+from . import trainer
+
+
+def parse_args() -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="VGGT-Qwen3 TPU SFT trainer.")
+    p.add_argument("--config", required=True, help="stage YAML (reference schema)")
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--max_steps", type=int, default=None, help="override YAML max_steps")
+    p.add_argument("--dp", type=int, default=None)
+    p.add_argument("--fsdp", type=int, default=None)
+    p.add_argument("--tp", type=int, default=None)
+    p.add_argument("--mock_vision", action="store_true", help="zero-token vision backend")
+    p.add_argument("--tiny", action="store_true", help="tiny model dims (smoke tests)")
+    p.add_argument("--resume", action="store_true", help="resume from latest step_<n>/")
+    p.add_argument("--data_root", default=None, help="base dir for relative data paths")
+    p.add_argument("--seed", type=int, default=None)
+    return p.parse_args()
+
+
+def build_stage(args) -> "StageConfig":
+    mesh_cfg = None
+    if args.dp or args.fsdp or args.tp:
+        mesh_cfg = MeshConfig(dp=args.dp or 1, fsdp=args.fsdp or 1, tp=args.tp or 1)
+    else:
+        mesh_cfg = MeshConfig(dp=1, fsdp=len(jax.devices()), tp=1)
+    text_cfg = QWEN3_TINY if args.tiny else None
+    vision_cfg = VGGT_TINY if args.tiny else None
+    stage = load_stage_config(args.config, text_config=text_cfg, vision_config=vision_cfg, mesh=mesh_cfg)
+    if args.tiny:
+        stage = dataclasses.replace(
+            stage,
+            model=dataclasses.replace(
+                stage.model,
+                num_vis_tokens=min(stage.model.num_vis_tokens, 16),
+                geom_tokens=min(stage.model.geom_tokens, 2),
+                projector=PerceiverConfig(
+                    latent_dim=64, num_latents=min(stage.model.num_vis_tokens, 16),
+                    num_heads=4, num_layers=2, ffn_dim=128, dropout=0.1,
+                ),
+                dtype="float32",
+            ),
+        )
+    if args.mock_vision:
+        stage = dataclasses.replace(
+            stage, model=dataclasses.replace(stage.model, vision=None, vision_backbone="mock")
+        )
+    if args.max_steps:
+        stage = dataclasses.replace(
+            stage, train=dataclasses.replace(stage.train, max_steps=args.max_steps)
+        )
+    if args.seed is not None:
+        stage = dataclasses.replace(
+            stage, train=dataclasses.replace(stage.train, seed=args.seed)
+        )
+    return stage
+
+
+def build_data(stage, args, tokenizer):
+    datasets = {}
+    for name, glob_path in stage.data.datasets.items():
+        datasets[name] = MultiViewJsonDataset(
+            DatasetConfig(
+                path_glob=glob_path,
+                num_views=stage.data.num_views,
+                image_size=stage.data.image_size,
+                task=name,
+                root=args.data_root,
+            )
+        )
+    multi = MultiSourceDataset(datasets, stage.data.mix_ratio)
+    # tokenizer vocab guard: tiny text models can't host huge byte ids
+    collator = MultiViewCollator(
+        stage.data.image_size,
+        tokenizer,
+        stage.data.max_length,
+        num_vis_tokens=stage.model.num_vis_tokens,
+        geom_tokens=stage.model.geom_tokens,
+    )
+    global_batch = stage.train.batch_size_per_device * stage.mesh.dp * stage.mesh.fsdp
+    return data_loader(
+        multi, collator, global_batch, shuffle=True, seed=stage.train.seed
+    )
+
+
+def main() -> None:
+    args = parse_args()
+    stage = build_stage(args)
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    tokenizer = load_tokenizer(None if args.tiny else args.config and None)
+    image_token_id = tokenizer.convert_tokens_to_ids(IMAGE_TOKEN)
+
+    mesh = build_mesh(stage.mesh)
+    loader = build_data(stage, args, tokenizer)
+
+    def init_fn(rng):
+        state, _ = trainer.init_train_state(rng, stage, dtype=stage.model.dtype)
+        return state
+
+    rng = jax.random.PRNGKey(stage.train.seed)
+    state_shape = jax.eval_shape(init_fn, rng)
+    shardings = trainer.state_shardings(state_shape, mesh)
+
+    start_step = 0
+    resume_dir = ckpt.latest_step_dir(out_dir) if args.resume else None
+    if resume_dir is not None:
+        abstract = ckpt.abstract_like(state_shape, shardings)
+        state = ckpt.restore(resume_dir, abstract)
+        start_step = int(state.step)
+        print(f"resumed from {resume_dir} at step {start_step}", flush=True)
+    else:
+        state = jax.jit(init_fn, out_shardings=shardings)(rng)
+
+    tx = trainer.make_tx(stage, state_shape.params)
+    logger = MetricLogger(out_dir)
+    bsh = batch_sharding(mesh)
+    base_sched = trainer.cosine_schedule(stage.train.lr, stage.train)
+    proj_sched = trainer.cosine_schedule(stage.train.proj_lr or stage.train.lr, stage.train)
+
+    step_fns = {}  # compiled per geom presence
+    train_rng = jax.random.PRNGKey(stage.train.seed + 1)
+    max_steps = stage.train.max_steps
+    print(
+        f"🚀 training: mesh dp={stage.mesh.dp} fsdp={stage.mesh.fsdp} tp={stage.mesh.tp} | "
+        f"max_steps={max_steps} grad_accum={stage.train.grad_accum} | "
+        f"backend={jax.default_backend()}",
+        flush=True,
+    )
+
+    step = start_step
+    for batch in loader:
+        if step >= max_steps:
+            break
+        has_geom = batch["geom_token"] is not None
+        if has_geom not in step_fns:
+            step_fns[has_geom] = trainer.make_train_step(
+                stage, tx, image_token_id, has_geom=has_geom, state_sharding=shardings
+            )
+        device_batch = {
+            k: jax.device_put(jnp.asarray(v), bsh)
+            for k, v in batch.items()
+            if k != "geom_token" and v is not None
+        }
+        if has_geom:
+            device_batch["geom_token"] = {
+                k: jax.device_put(jnp.asarray(v), bsh)
+                for k, v in batch["geom_token"].items()
+                if k != "mask"
+            }
+        train_rng, step_rng = jax.random.split(train_rng)
+        state, metrics = step_fns[has_geom](state, device_batch, step_rng)
+
+        if step % stage.train.log_every_steps == 0:
+            loss = float(metrics["loss"])
+            logger.console(step, max_steps, loss, float(base_sched(step)), float(proj_sched(step)))
+            logger.log(
+                step,
+                {
+                    "loss": loss,
+                    "grad_norm": float(metrics["grad_norm"]),
+                    "learning_rate_base": float(base_sched(step)),
+                    "learning_rate_proj": float(proj_sched(step)),
+                },
+                max_steps=max_steps,
+            )
+        step += 1
+        if stage.train.save_every_steps and step % stage.train.save_every_steps == 0:
+            ckpt.save(state, out_dir / f"step_{step}")
+            print(f"💾 checkpoint → {out_dir / f'step_{step}'}", flush=True)
+
+    ckpt.save(state, out_dir / f"step_{step}")
+    logger.close()
+    print(f"done at step {step}; final checkpoint → {out_dir / f'step_{step}'}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

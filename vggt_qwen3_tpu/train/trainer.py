@@ -1,0 +1,187 @@
+"""SFT trainer: sharded train state, two-group AdamW + cosine warmup,
+gradient accumulation, frozen-vision masking.
+
+Reproduces the reference training semantics (``src/train/train_sft.py``):
+
+- two parameter groups — base (Qwen3) at ``lr`` and projector+geom head at
+  ``proj_lr`` (``train_sft.py:138-156``; cfg ``stage1_3d.yaml:26-27``),
+- HF-style cosine schedule with linear warmup over ``warmup_ratio·max_steps``
+  (``train_sft.py:158-163``),
+- gradient accumulation (``grad_accum``; ``accelerator.accumulate`` in the
+  reference) via ``optax.MultiSteps``,
+- global-norm gradient clipping 1.0 (reference: DeepSpeed
+  ``gradient_clipping`` — ``configs/deepspeed_zero3.json:15``),
+- frozen vision tower: zero updates, no optimizer moments
+  (``freeze_vision`` — ``vggt_qwen3_vlm.py:44-45``),
+- ZeRO-3-equivalent sharding: params/optimizer state sharded over ``fsdp``,
+  TP over ``tp``, batch over ``(dp, fsdp)`` — XLA emits the all-gather /
+  reduce-scatter that DeepSpeed does by hand (SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import StageConfig, TrainConfig, VLMConfig
+from ..models import vlm
+from ..parallel.sharding import param_shardings
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # scalar int32
+
+
+def cosine_schedule(lr: float, cfg: TrainConfig) -> optax.Schedule:
+    """HF get_cosine_schedule_with_warmup equivalent (train_sft.py:158-163)."""
+    warmup = int(cfg.warmup_ratio * cfg.max_steps)
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=lr,
+        warmup_steps=max(warmup, 1),
+        decay_steps=cfg.max_steps,
+        end_value=0.0,
+    )
+
+
+def param_group_labels(params: Any, freeze_vision: bool) -> Any:
+    """'base' (Qwen3) / 'proj' (projector + geom head) / 'frozen' (vision).
+
+    Mirrors the reference's name-based grouping (``train_sft.py:138-145``:
+    "projector" or "geom_head" in name → proj group)."""
+
+    def label(path, _leaf):
+        top = path[0].key if hasattr(path[0], "key") else str(path[0])
+        if top in ("projector", "geom"):
+            return "proj"
+        if top == "vision":
+            return "frozen" if freeze_vision else "base"
+        return "base"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def build_optimizer(cfg: TrainConfig, labels: Any) -> optax.GradientTransformation:
+    def adamw(lr: float) -> optax.GradientTransformation:
+        return optax.adamw(
+            cosine_schedule(lr, cfg),
+            b1=0.9,
+            b2=0.999,
+            eps=1e-8,
+            weight_decay=cfg.weight_decay,
+        )
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.gradient_clip),
+        optax.multi_transform(
+            {
+                "base": adamw(cfg.lr),
+                "proj": adamw(cfg.proj_lr if cfg.proj_lr is not None else cfg.lr),
+                "frozen": optax.set_to_zero(),
+            },
+            labels,
+        ),
+    )
+    if cfg.grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum)
+    return tx
+
+
+def make_tx(stage: StageConfig, params_shape: Any) -> optax.GradientTransformation:
+    """Optimizer from the stage config; ``params_shape`` may be abstract
+    (eval_shape output) — labels only need the tree structure."""
+    labels = param_group_labels(params_shape, stage.model.freeze_vision)
+    return build_optimizer(stage.train, labels)
+
+
+def init_train_state(
+    rng: jax.Array, stage: StageConfig, *, dtype: Optional[str] = None
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    params = vlm.init_params(rng, stage.model, dtype=dtype)
+    tx = make_tx(stage, params)
+    opt_state = tx.init(params)
+    return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32)), tx
+
+
+def state_shardings(state_shape: TrainState, mesh) -> TrainState:
+    """Shardings for the whole train state.
+
+    Optimizer-state leaves mirror parameter shapes (AdamW mu/nu, MultiSteps
+    accumulators), so the same suffix rules apply; scalar counters replicate.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def maybe(tree):
+        return param_shardings(tree, mesh)
+
+    params_sh = maybe(state_shape.params)
+
+    from ..parallel.sharding import _spec_for
+
+    def opt_leaf(path, leaf):
+        keys = tuple(k.key if hasattr(k, "key") else str(getattr(k, "idx", k)) for k in path)
+        ndim = len(leaf.shape)
+        if ndim == 0:
+            return NamedSharding(mesh, P())
+        # optimizer leaves mirror param shapes — reuse the param rules
+        return NamedSharding(mesh, _spec_for(keys, ndim))
+
+    opt_sh = jax.tree_util.tree_map_with_path(opt_leaf, state_shape.opt_state)
+    return TrainState(params=params_sh, opt_state=opt_sh, step=NamedSharding(mesh, P()))
+
+
+def make_train_step(
+    stage: StageConfig,
+    tx: optax.GradientTransformation,
+    image_token_id: int,
+    *,
+    has_geom: bool,
+    state_sharding: Optional[TrainState] = None,
+):
+    """Jitted (state, batch, rng) → (state, metrics). Donates the state.
+
+    ``state_sharding`` (from :func:`state_shardings`) pins the train state's
+    in/out shardings so the compiler can't drift them between calls — without
+    it the second invocation pays a full recompile when propagated output
+    shardings differ from the registry's.
+    """
+    mcfg: VLMConfig = stage.model
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        def loss_fn(params):
+            return vlm.train_forward(
+                params,
+                mcfg,
+                images=batch["pixel_values"],
+                geom_token=batch.get("geom_token") if has_geom else None,
+                input_ids=batch["input_ids"],
+                attention_mask=batch["attention_mask"],
+                labels=batch["labels"],
+                image_token_id=image_token_id,
+                rng=rng,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        return new_state, metrics
+
+    if state_sharding is not None:
+        return jax.jit(
+            step_fn,
+            donate_argnums=(0,),
+            in_shardings=(state_sharding, None, None),
+            out_shardings=(state_sharding, None),
+        )
+    return jax.jit(step_fn, donate_argnums=(0,))
