@@ -1,0 +1,127 @@
+"""Baseline evaluation driver — reference ``scripts/eval_baseline_quick.py``.
+
+Runs QA inference over the SQA3D/ScanQA/ARKit test splits and computes
+exact/partial match with the reference's metric semantics
+(``eval_baseline_quick.py:36-135``): string refs — exact = case-insensitive
+stripped equality, partial = substring either direction; dict refs — partial =
+``ref['action'] in pred``, exact = parsed-JSON equality. Writes
+``baseline_summary.json`` (``:209-211``).
+
+TPU-first delta: inference runs in-process and batched (the reference
+subprocess-spawns a fresh model per dataset), so the model loads once.
+
+    python -m vggt_qwen3_tpu.evals.baseline --config configs/stage1_3d.yaml \
+        --num_samples 50 --max_new_tokens 32 --output_dir outputs/qa/baseline_eval \
+        [--datasets sqa3d scanqa arkit] [--tiny --mock_vision] [--data_root DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+from typing import Dict, List
+
+from ..data.dataset import DatasetConfig, MultiViewJsonDataset
+from ..data.tokenizer import load_tokenizer
+from ..inference.qa import build_stage, load_model, pick_unique_scene_samples, run_inference
+
+DEFAULT_GLOBS = {
+    "sqa3d": "data/processed/sqa3d/test_split.jsonl",
+    "scanqa": "data/processed/scanqa/test_split.jsonl",
+    "arkit": "data/processed/arkit_synth/test.json",
+}
+
+
+def compute_metrics(records: List[Dict]) -> Dict[str, float]:
+    exact = partial = 0
+    total = len(records)
+    for rec in records:
+        pred = rec["prediction"]
+        ref = rec["reference"]
+        if isinstance(ref, dict):
+            pred_lower = pred.lower().strip()
+            if "action" in ref and ref["action"] in pred_lower:
+                partial += 1
+            try:
+                if json.loads(pred) == ref:
+                    exact += 1
+            except Exception:
+                pass
+        else:
+            p = pred.lower().strip()
+            r = str(ref).lower().strip()
+            if p == r:
+                exact += 1
+            elif r in p or p in r:
+                partial += 1
+    return {
+        "total": total,
+        "exact_match": exact,
+        "partial_match": partial,
+        "accuracy": exact / total * 100 if total else 0.0,
+        "partial_accuracy": (exact + partial) / total * 100 if total else 0.0,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="Quick baseline evaluation.")
+    ap.add_argument("--config", default="configs/stage1_3d.yaml")
+    ap.add_argument("--checkpoint_dir", default=None)
+    ap.add_argument("--num_samples", type=int, default=50)
+    ap.add_argument("--max_new_tokens", type=int, default=32)
+    ap.add_argument("--output_dir", default="outputs/qa/baseline_eval")
+    ap.add_argument("--datasets", nargs="+", default=["sqa3d", "scanqa", "arkit"])
+    ap.add_argument("--glob", action="append", default=None,
+                    help="name=glob override, repeatable")
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--data_root", default=None)
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--mock_vision", action="store_true")
+    args = ap.parse_args()
+
+    globs = dict(DEFAULT_GLOBS)
+    for ov in args.glob or []:
+        name, pattern = ov.split("=", 1)
+        globs[name] = pattern
+
+    stage = build_stage(args)
+    tokenizer = load_tokenizer(None if args.tiny else stage.tokenizer_path or stage.text_model_name)
+    params = load_model(stage, args.checkpoint_dir)
+
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    summary: Dict[str, Dict] = {}
+    for name in args.datasets:
+        pattern = globs[name]
+        try:
+            dataset = MultiViewJsonDataset(
+                DatasetConfig(path_glob=pattern, num_views=stage.data.num_views,
+                              image_size=stage.data.image_size, task=name, root=args.data_root)
+            )
+        except FileNotFoundError as e:
+            print(f"⚠️  skipping {name}: {e}")
+            continue
+        picked = pick_unique_scene_samples(dataset, args.num_samples, args.seed)
+        samples = [dataset[i] for i in picked]
+        records = run_inference(
+            params, stage, tokenizer, samples,
+            max_new_tokens=args.max_new_tokens,
+            batch_size=args.batch_size,
+            output_path=out_dir / f"{name}_baseline.jsonl",
+            verbose=False,
+        )
+        metrics = compute_metrics(records)
+        summary[name] = metrics
+        print(
+            f"{name}: {metrics['exact_match']}/{metrics['total']} exact "
+            f"({metrics['accuracy']:.1f}%), partial_accuracy {metrics['partial_accuracy']:.1f}%"
+        )
+
+    (out_dir / "baseline_summary.json").write_text(json.dumps(summary, indent=2))
+    print(f"summary → {out_dir / 'baseline_summary.json'}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,187 @@
+"""ARKit RoomPlan action-JSON inference CLI — reference
+``src/inference/arkit_inference.py`` rebuilt TPU-first.
+
+Observable behavior preserved (SURVEY.md §3.3): system-hint prompt
+(``arkit_inference.py:249-254``), first-N-scenes sample selection with no
+shuffling (``:114-133``), greedy decode with repetition penalty 1.1 +
+``no_repeat_ngram_size=4`` and ``max_new_tokens=256`` (``:274-284``), prompt
+echo stripping + first-balanced-JSON extraction (``:147-179``), and the inline
+exact-match metric over sort-keys-canonicalized references (``:320-348``).
+
+    python -m vggt_qwen3_tpu.inference.arkit --config configs/stage2_arkit.yaml \
+        --glob 'data/processed/arkit_synth/*.json' --max_scenes 9 \
+        --output_jsonl out.jsonl [--tiny] [--mock_vision]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import StageConfig
+from ..data.dataset import DatasetConfig, MultiViewJsonDataset
+from ..data.tokenizer import IMAGE_TOKEN, load_tokenizer, pad_and_mask
+from ..models import qwen3, vlm
+from ..ops.preprocess import preprocess_views
+from .engine import GenerationConfig, generate
+from .postprocess import extract_first_json, postprocess_arkit_generation
+from .qa import build_stage, load_model
+
+SYSTEM_HINT = (
+    "You are a RoomPlan assistant. Given multi-view images and an instruction, "
+    "reply with only the final JSON action using keys action, scene, center, normal, extent. "
+    "Do not repeat the instruction text."
+)
+
+
+def load_arkit_samples(glob_pattern: str, max_scenes: int, num_views: int,
+                       image_size: int, root: Optional[str] = None) -> List[Dict]:
+    """First N scenes, no shuffling (arkit_inference.py:114-133)."""
+    dataset = MultiViewJsonDataset(
+        DatasetConfig(path_glob=glob_pattern, num_views=num_views,
+                      image_size=image_size, task="arkit_synth", root=root)
+    )
+    return [dataset[i] for i in range(min(max_scenes, len(dataset)))]
+
+
+def run_inference(
+    params,
+    stage: StageConfig,
+    tokenizer,
+    samples: List[Dict],
+    *,
+    max_new_tokens: int = 256,
+    batch_size: int = 4,
+    output_path: Optional[Path] = None,
+    compute_metrics: bool = True,
+    verbose: bool = True,
+) -> Tuple[List[Dict], Optional[Dict[str, float]]]:
+    image_token_id = tokenizer.convert_tokens_to_ids(IMAGE_TOKEN)
+    gen_cfg = GenerationConfig(
+        max_new_tokens=max_new_tokens,
+        eos_token_id=tokenizer.eos_token_id,
+        pad_token_id=tokenizer.pad_token_id,
+        repetition_penalty=1.1,
+        no_repeat_ngram=4,
+        penalize_prompt=False,
+    )
+    if output_path is not None:
+        output_path.parent.mkdir(parents=True, exist_ok=True)
+        output_path.write_text("", encoding="utf-8")
+
+    results: List[Dict] = []
+    total_with_ref = 0
+    total_exact = 0
+    for start in range(0, len(samples), batch_size):
+        chunk = samples[start : start + batch_size]
+        questions = [s.get("question") or s.get("instruction") or "" for s in chunk]
+        prompts = [f"{SYSTEM_HINT}\nInstruction: {q}\n{IMAGE_TOKEN}\n" for q in questions]
+        encoded = [tokenizer(p, add_special_tokens=False)["input_ids"] for p in prompts]
+        padded = pad_and_mask(encoded, tokenizer.pad_token_id, side="left")
+        ids = jnp.asarray(padded["input_ids"], jnp.int32)
+        mask = jnp.asarray(padded["attention_mask"], jnp.int32)
+
+        views = [preprocess_views(s["images"], stage.data.image_size) for s in chunk]
+        v_max = max(v.shape[0] for v in views)
+        views = [
+            jnp.concatenate([v] + [v[-1:]] * (v_max - v.shape[0]), axis=0) if v.shape[0] < v_max else v
+            for v in views
+        ]
+        images = jnp.stack(views, axis=0)
+
+        vis_tokens = vlm.encode_images(params, stage.model, images)
+        embeds = qwen3.embed_tokens(params["text"], ids)
+        embeds, mask2 = vlm.splice_expand(embeds, mask, ids, vis_tokens, image_token_id)
+        tokens, lengths = generate(
+            params["text"], stage.model.text, gen_cfg,
+            inputs_embeds=embeds, attention_mask=mask2,
+        )
+        tokens = np.asarray(tokens)
+        lengths = np.asarray(lengths)
+
+        for j, sample in enumerate(chunk):
+            idx = start + j
+            raw_text = tokenizer.decode(tokens[j][: lengths[j]], skip_special_tokens=True).strip()
+            # generation contains only new tokens (no prompt echo in our
+            # engine), but keep the reference's cleanup for byte-parity
+            cleaned = postprocess_arkit_generation(raw_text, prompts[j], questions[j])
+            prediction = extract_first_json(cleaned)
+            raw_pred = extract_first_json(raw_text)
+            reference = sample.get("answer")
+            record = {
+                "index": idx,
+                "scene_id": sample.get("scene_id"),
+                "question": questions[j],
+                "prediction": prediction,
+                "raw_prediction": raw_pred,
+                "reference": reference,
+            }
+            results.append(record)
+            if output_path is not None:
+                with output_path.open("a", encoding="utf-8") as f:
+                    f.write(json.dumps(record, ensure_ascii=False) + "\n")
+            if compute_metrics and reference is not None:
+                total_with_ref += 1
+                ref_str = (
+                    json.dumps(reference, sort_keys=True)
+                    if isinstance(reference, (dict, list))
+                    else str(reference)
+                )
+                if ref_str.strip() == prediction.strip():
+                    total_exact += 1
+            if verbose:
+                print(f"[{idx}] {questions[j]}\n → {prediction}", flush=True)
+
+    metrics: Optional[Dict[str, float]] = None
+    if compute_metrics and total_with_ref > 0:
+        metrics = {
+            "num_samples": len(samples),
+            "num_with_reference": total_with_ref,
+            "exact_match": total_exact / float(total_with_ref),
+        }
+        if verbose:
+            print(
+                f"\nSummary over {total_with_ref} samples with reference:"
+                f" exact_match = {metrics['exact_match']:.3f}"
+            )
+    return results, metrics
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="ARKit RoomPlan action inference (TPU).")
+    p.add_argument("--config", default="configs/stage2_arkit.yaml")
+    p.add_argument("--glob", default="data/processed/arkit_synth/*.json")
+    p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--max_scenes", type=int, default=9)
+    p.add_argument("--max_new_tokens", type=int, default=256)
+    p.add_argument("--output_jsonl", default="ckpts/arkit_infer/predictions.jsonl")
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--data_root", default=None)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--mock_vision", action="store_true")
+    args = p.parse_args()
+
+    stage = build_stage(args)
+    tokenizer = load_tokenizer(None if args.tiny else stage.tokenizer_path or stage.text_model_name)
+    params = load_model(stage, args.checkpoint_dir)
+    samples = load_arkit_samples(
+        args.glob, args.max_scenes, stage.data.num_views, stage.data.image_size, args.data_root
+    )
+    t0 = time.time()
+    run_inference(
+        params, stage, tokenizer, samples,
+        max_new_tokens=args.max_new_tokens,
+        batch_size=args.batch_size,
+        output_path=Path(args.output_jsonl) if args.output_jsonl else None,
+    )
+    print(f"total {time.time()-t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
