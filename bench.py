@@ -1,0 +1,98 @@
+"""Benchmark: Qwen3-4B batched greedy decode throughput on one TPU chip.
+
+Headline metric for the driver (BASELINE.json north star: ≥5,000 decode
+tok/s/chip on v5e). Random bf16 weights (no HF egress here) — throughput is
+weight-value-independent. Prints ONE JSON line:
+    {"metric": "qwen3_4b_decode_tok_s_chip", "value": N, "unit": "tok/s",
+     "vs_baseline": N/5000}
+
+Env knobs: BENCH_BATCH (default 128), BENCH_DECODE (default 128),
+BENCH_PROMPT (default 32), BENCH_TINY=1 (smoke: tiny model, CPU-safe).
+
+Timing note: this environment's tunneled TPU backend does not synchronize on
+``block_until_ready`` — only host fetches synchronize — so timing fetches the
+token buffer (tiny: B×decode int32) each call.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from vggt_qwen3_tpu.config import QWEN3_4B_INSTRUCT_2507, QWEN3_TINY
+    from vggt_qwen3_tpu.inference.engine import GenerationConfig, generate
+    from vggt_qwen3_tpu.models import qwen3
+
+    tiny = os.environ.get("BENCH_TINY") == "1"
+    cfg = QWEN3_TINY if tiny else QWEN3_4B_INSTRUCT_2507
+    B = int(os.environ.get("BENCH_BATCH", "8" if tiny else "128"))
+    decode_steps = int(os.environ.get("BENCH_DECODE", "16" if tiny else "128"))
+    prompt_len = int(os.environ.get("BENCH_PROMPT", "8" if tiny else "32"))
+    target = 5000.0
+
+    print(
+        f"bench: model={'tiny' if tiny else 'qwen3-4b'} B={B} prompt={prompt_len} "
+        f"decode={decode_steps} backend={jax.default_backend()} devices={len(jax.devices())}",
+        file=sys.stderr,
+        flush=True,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    t0 = time.time()
+    params = qwen3.init_params(rng, cfg, dtype=cfg.dtype)
+    jax.block_until_ready(params)
+    print(f"init params: {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+
+    gen_cfg = GenerationConfig(
+        max_new_tokens=decode_steps,
+        eos_token_id=None,  # fixed-length decode for stable timing
+        pad_token_id=0,
+        repetition_penalty=1.0,
+        no_repeat_ngram=0,
+    )
+    ids = jnp.asarray(np.random.default_rng(0).integers(1, cfg.vocab_size, (B, prompt_len)))
+    embeds = qwen3.embed_tokens(params, ids)
+    mask = jnp.ones((B, prompt_len), jnp.int32)
+
+    # compile + warmup (np.asarray forces real execution on the axon backend)
+    t0 = time.time()
+    tokens, _ = generate(params, cfg, gen_cfg, inputs_embeds=embeds, attention_mask=mask)
+    np.asarray(tokens)
+    print(f"compile+warmup: {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+
+    # timed (full generate incl. prefill; decode dominates at these sizes)
+    reps = 3
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        tokens, _ = generate(params, cfg, gen_cfg, inputs_embeds=embeds, attention_mask=mask)
+        np.asarray(tokens)
+        times.append(time.time() - t0)
+    dt = min(times)
+    tok_s = B * decode_steps / dt
+    print(f"{dt*1000:.1f} ms/call → {tok_s:.0f} tok/s", file=sys.stderr, flush=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "qwen3_4b_decode_tok_s_chip",
+                "value": round(tok_s, 1),
+                "unit": "tok/s",
+                "vs_baseline": round(tok_s / target, 3),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

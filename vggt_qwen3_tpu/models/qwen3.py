@@ -89,12 +89,10 @@ def embed_tokens(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
     return params["embed"][input_ids]
 
 
-def _layer_step(cfg: Qwen3Config, h, lp, kc, vc, cos, sin, mask, cache_offset):
-    """One decoder layer. ``kc``/``vc`` are this layer's cache slices
-    ([B, T, NKV, D]) or None when running cache-free."""
-    B, S, H = h.shape
+def _layer_qkv(cfg: Qwen3Config, h, lp, cos, sin):
+    """Pre-attention projections: normed x, rotated q/k, v."""
+    B, S, _ = h.shape
     D, NH, NKV = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
-
     x = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
     q = (x @ lp["wq"]).reshape(B, S, NH, D)
     k = (x @ lp["wk"]).reshape(B, S, NKV, D)
@@ -103,21 +101,28 @@ def _layer_step(cfg: Qwen3Config, h, lp, kc, vc, cos, sin, mask, cache_offset):
     k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
+    return q, k, v
 
+
+def _layer_post_attn(cfg: Qwen3Config, h, lp, attn):
+    B, S, _ = h.shape
+    h = h + attn.reshape(B, S, cfg.num_heads * cfg.head_dim) @ lp["wo"]
+    x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
+    gated = jax.nn.silu(x @ lp["gate"]) * (x @ lp["up"])
+    return h + gated @ lp["down"]
+
+
+def _layer_step(cfg: Qwen3Config, h, lp, kc, vc, cos, sin, mask, cache_offset):
+    """One decoder layer, cache-free (kc/vc None) or with per-layer slices."""
+    q, k, v = _layer_qkv(cfg, h, lp, cos, sin)
     if kc is not None:
         kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, cache_offset, 0, 0))
         vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, cache_offset, 0, 0))
         k_all, v_all = kc, vc
     else:
         k_all, v_all = k, v
-
     attn = mha(q, k_all, v_all, mask=mask)
-    h = h + attn.reshape(B, S, NH * D) @ lp["wo"]
-
-    x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-    gated = jax.nn.silu(x @ lp["gate"]) * (x @ lp["up"])
-    h = h + gated @ lp["down"]
-    return h, kc, vc
+    return _layer_post_attn(cfg, h, lp, attn), kc, vc
 
 
 def forward_hidden(
@@ -160,12 +165,29 @@ def forward_hidden(
     h = inputs_embeds
 
     if cache is not None:
-        def body(h, xs):
-            lp, kc, vc = xs
-            h, kc, vc = _layer_step(cfg, h, lp, kc, vc, cos, sin, mask, cache_offset)
-            return h, (kc, vc)
+        L = cfg.num_layers
 
-        h, (k_new, v_new) = jax.lax.scan(body, h, (params["layers"], cache["k"], cache["v"]))
+        def body(carry, xs):
+            h, kc_full, vc_full = carry
+            lp, li = xs
+            q, k, v = _layer_qkv(cfg, h, lp, cos, sin)
+            # single-token in-place writes into the full [L, B, T, NKV, D]
+            # carry — only S new entries hit HBM, never a whole layer slice
+            kc_full = jax.lax.dynamic_update_slice(
+                kc_full, k.astype(kc_full.dtype)[None], (li, 0, cache_offset, 0, 0)
+            )
+            vc_full = jax.lax.dynamic_update_slice(
+                vc_full, v.astype(vc_full.dtype)[None], (li, 0, cache_offset, 0, 0)
+            )
+            kc = jax.lax.dynamic_index_in_dim(kc_full, li, axis=0, keepdims=False)
+            vc = jax.lax.dynamic_index_in_dim(vc_full, li, axis=0, keepdims=False)
+            attn = mha(q, kc, vc, mask=mask)
+            h = _layer_post_attn(cfg, h, lp, attn)
+            return (h, kc_full, vc_full), None
+
+        (h, k_new, v_new), _ = jax.lax.scan(
+            body, (h, cache["k"], cache["v"]), (params["layers"], jnp.arange(L))
+        )
         new_cache = {"k": k_new, "v": v_new}
     else:
         def body(h, lp):

@@ -58,17 +58,16 @@ def mha(
     if scale is None:
         scale = D**-0.5
 
-    if group > 1:
-        k = jnp.repeat(k, group, axis=2)
-        v = jnp.repeat(v, group, axis=2)
-
+    # Grouped formulation: never materialize repeated K/V (a 4x GQA repeat
+    # would quadruple decode KV-cache traffic — the dominant HBM cost).
+    qg = q.reshape(B, S, NKV, group, D)
     scores = jnp.einsum(
-        "bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32
+        "bskgd,btkd->bkgst", qg, k, preferred_element_type=jnp.float32
     ) * scale
     if mask is not None:
-        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+        scores = jnp.where(mask[:, None], scores, jnp.finfo(jnp.float32).min)
     probs = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
     probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
     probs = probs.astype(v.dtype)
-    out = jnp.einsum("bhst,bthd->bshd", probs, v)
-    return out.astype(q.dtype)
+    out = jnp.einsum("bkgst,btkd->bskgd", probs, v)
+    return out.reshape(B, S, NH, D).astype(q.dtype)
