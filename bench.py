@@ -49,6 +49,8 @@ def main() -> None:
     rng = jax.random.PRNGKey(0)
     t0 = time.time()
     params = qwen3.init_params(rng, cfg, dtype=cfg.dtype)
+    if os.environ.get("BENCH_QUANT", "w8") == "w8" and not tiny:
+        params = qwen3.quantize_params(params)  # W8 serving mode (default)
     jax.block_until_ready(params)
     print(f"init params: {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
 

@@ -1,0 +1,86 @@
+"""int8 quantization: numerics, Pallas kernels (interpret mode), and the
+quantized Qwen3 forward staying close to the dense forward."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vggt_qwen3_tpu.config import Qwen3Config
+from vggt_qwen3_tpu.models import qwen3
+from vggt_qwen3_tpu.ops.quant import (
+    dequantize,
+    linear,
+    quantize_activations,
+    quantize_per_channel,
+    w8a8_matmul,
+    w8a16_matmul,
+)
+
+
+def test_quantize_roundtrip_error_bound():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(64, 96)), jnp.float32)
+    q = quantize_per_channel(w)
+    back = dequantize(q).astype(jnp.float32)
+    # symmetric per-channel int8: rounding error ≤ scale/2, plus the bf16
+    # storage of the scale itself adds up to ~127·2⁻⁹·scale ≈ scale/4 more
+    max_scale = float(q["scale"].astype(jnp.float32).max())
+    assert float(jnp.abs(back - w).max()) <= max_scale * 1.01
+
+
+def test_quantize_stacked_layers():
+    w = jnp.asarray(np.random.default_rng(1).normal(size=(3, 32, 48)), jnp.float32)
+    q = quantize_per_channel(w)
+    assert q["w8"].shape == (3, 32, 48) and q["scale"].shape == (3, 1, 48)
+
+
+@pytest.mark.parametrize("kernel", ["w8a16", "w8a8"])
+def test_pallas_kernels_interpret(kernel):
+    rng = np.random.default_rng(2)
+    M, K, N = 16, 64, 256
+    x = jnp.asarray(rng.normal(size=(M, K)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(K, N)), jnp.float32)
+    q = quantize_per_channel(w)
+    ref = np.asarray(x.astype(jnp.float32) @ dequantize(q).astype(jnp.float32))
+    if kernel == "w8a16":
+        out = w8a16_matmul(x, q["w8"], q["scale"], block_n=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(out, np.float32), ref, atol=0.25, rtol=0.05)
+    else:
+        x8, xs = quantize_activations(x)
+        out = w8a8_matmul(x8, xs, q["w8"], q["scale"], block_n=128, interpret=True)
+        # extra activation-quant noise
+        np.testing.assert_allclose(np.asarray(out, np.float32), ref, atol=0.6, rtol=0.1)
+
+
+def test_linear_dispatch_dense_and_quantized():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(4, 7, 32)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(32, 48)), jnp.float32)
+    dense = linear(x, w)
+    q = linear(x, quantize_per_channel(w))
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(x @ w), atol=1e-5)
+    rel = np.abs(np.asarray(q, np.float32) - np.asarray(dense, np.float32)).max() / np.abs(
+        np.asarray(dense)
+    ).max()
+    assert rel < 0.02, rel
+
+
+def test_quantized_qwen3_forward_close_to_dense():
+    cfg = Qwen3Config(
+        vocab_size=256, hidden_size=64, num_layers=2, num_heads=4, num_kv_heads=2,
+        head_dim=16, intermediate_size=128, rope_theta=1e4, tie_word_embeddings=True,
+    )
+    params = qwen3.init_params(jax.random.PRNGKey(0), cfg, dtype="float32")
+    qparams = qwen3.quantize_params(params)
+    ids = jnp.asarray(np.random.default_rng(4).integers(0, 256, (2, 12)))
+    dense_logits, _ = qwen3.forward(params, cfg, input_ids=ids)
+    quant_logits, _ = qwen3.forward(qparams, cfg, input_ids=ids)
+    d = np.asarray(dense_logits)
+    q = np.asarray(quant_logits)
+    # per-position argmax agreement is the behavior that matters for greedy
+    agree = (d.argmax(-1) == q.argmax(-1)).mean()
+    assert agree > 0.9, agree
+    # and logits stay numerically close at tiny-model scale
+    assert np.abs(d - q).max() / np.abs(d).max() < 0.1

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Qwen3Config
+from ..ops import quant
 from ..ops.attention import combine_masks, make_causal_mask, mha
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope, rope_cos_sin
@@ -90,13 +91,17 @@ def embed_tokens(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
 
 
 def _layer_qkv(cfg: Qwen3Config, h, lp, cos, sin):
-    """Pre-attention projections: normed x, rotated q/k, v."""
+    """Pre-attention projections: normed x, rotated q/k, v.
+
+    Projections route through :func:`quant.linear` so layers hold either
+    dense bf16 matrices or int8 ``{"w8", "scale"}`` dicts (W8 serving mode).
+    """
     B, S, _ = h.shape
     D, NH, NKV = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
     x = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
-    q = (x @ lp["wq"]).reshape(B, S, NH, D)
-    k = (x @ lp["wk"]).reshape(B, S, NKV, D)
-    v = (x @ lp["wv"]).reshape(B, S, NKV, D)
+    q = quant.linear(x, lp["wq"]).reshape(B, S, NH, D)
+    k = quant.linear(x, lp["wk"]).reshape(B, S, NKV, D)
+    v = quant.linear(x, lp["wv"]).reshape(B, S, NKV, D)
     q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
     k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
     q = apply_rope(q, cos, sin)
@@ -106,10 +111,10 @@ def _layer_qkv(cfg: Qwen3Config, h, lp, cos, sin):
 
 def _layer_post_attn(cfg: Qwen3Config, h, lp, attn):
     B, S, _ = h.shape
-    h = h + attn.reshape(B, S, cfg.num_heads * cfg.head_dim) @ lp["wo"]
+    h = h + quant.linear(attn.reshape(B, S, cfg.num_heads * cfg.head_dim), lp["wo"])
     x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-    gated = jax.nn.silu(x @ lp["gate"]) * (x @ lp["up"])
-    return h + gated @ lp["down"]
+    gated = jax.nn.silu(quant.linear(x, lp["gate"])) * quant.linear(x, lp["up"])
+    return h + quant.linear(gated, lp["down"])
 
 
 def _layer_step(cfg: Qwen3Config, h, lp, kc, vc, cos, sin, mask, cache_offset):
@@ -199,6 +204,28 @@ def forward_hidden(
 
     h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
     return h, new_cache
+
+
+QUANTIZED_LAYER_KEYS = ("wq", "wk", "wv", "wo", "gate", "up", "down")
+
+
+def quantize_params(params: Params) -> Params:
+    """bf16 params → W8 serving params: per-output-channel int8 for every
+    layer projection (norms, QK-norms, embeddings stay bf16).
+
+    Each source matrix is **donated** to its quantization jit so the bf16
+    buffer frees before the next one quantizes — without this, originals and
+    int8 copies co-reside and a 4B model OOMs a 16GB chip mid-conversion.
+    """
+    from ..ops.quant import quantize_per_channel
+
+    quantize = jax.jit(quantize_per_channel, donate_argnums=0)
+    layers = dict(params["layers"])
+    for key in QUANTIZED_LAYER_KEYS:
+        layers[key] = quantize(layers[key])
+    out = dict(params)
+    out["layers"] = layers
+    return out
 
 
 def lm_logits(params: Params, cfg: Qwen3Config, hidden: jnp.ndarray) -> jnp.ndarray:
