@@ -24,6 +24,65 @@ import time
 import numpy as np
 
 
+def e2e_mode() -> None:
+    """BENCH_MODE=e2e: single-view ScanQA-style query latency on one chip —
+    448² image → VGGT-1B → Perceiver(128) → splice → prefill → 32-token greedy
+    decode (north-star <200 ms on v5e-8; single-chip numbers here)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vggt_qwen3_tpu.config import (
+        PerceiverConfig,
+        QWEN3_4B_INSTRUCT_2507,
+        VGGT_1B,
+        VLMConfig,
+    )
+    from vggt_qwen3_tpu.inference.engine import GenerationConfig, generate
+    from vggt_qwen3_tpu.models import qwen3, vlm
+
+    cfg = VLMConfig(
+        text=QWEN3_4B_INSTRUCT_2507, vision=VGGT_1B, projector=PerceiverConfig(),
+        num_vis_tokens=128, geom_tokens=0, dtype="bfloat16",
+    )
+    params = vlm.init_params(jax.random.PRNGKey(0), cfg, dtype="bfloat16")
+    params["text"] = qwen3.quantize_params(params["text"])
+    np.asarray(jax.tree.leaves(params)[0][0])
+
+    img_id = cfg.text.vocab_size - 1
+    images = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 1, 3, 448, 448)), jnp.bfloat16)
+    ids = jnp.asarray(np.random.default_rng(1).integers(1, 150_000, (1, 30)))
+    gen_cfg = GenerationConfig(max_new_tokens=32, pad_token_id=0, repetition_penalty=1.1)
+
+    @jax.jit
+    def query(params, images, ids):
+        vis = vlm.encode_images(params, cfg, images)
+        emb = qwen3.embed_tokens(params["text"], ids)
+        mask = jnp.ones(ids.shape, jnp.int32)
+        emb2, mask2 = vlm.splice_expand(emb, mask, ids.at[:, 10].set(img_id), vis, img_id)
+        return generate(params["text"], cfg.text, gen_cfg, inputs_embeds=emb2, attention_mask=mask2)
+
+    toks, _ = query(params, images, ids)
+    np.asarray(toks)
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        toks, _ = query(params, images, ids)
+        np.asarray(toks)
+        times.append(time.time() - t0)
+    ms = min(times) * 1000
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_single_view_query_ms",
+                "value": round(ms, 1),
+                "unit": "ms",
+                "vs_baseline": round(200.0 / ms, 3),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -31,6 +90,9 @@ def main() -> None:
     from vggt_qwen3_tpu.config import QWEN3_4B_INSTRUCT_2507, QWEN3_TINY
     from vggt_qwen3_tpu.inference.engine import GenerationConfig, generate
     from vggt_qwen3_tpu.models import qwen3
+
+    if os.environ.get("BENCH_MODE") == "e2e":
+        return e2e_mode()
 
     tiny = os.environ.get("BENCH_TINY") == "1"
     cfg = QWEN3_TINY if tiny else QWEN3_4B_INSTRUCT_2507

@@ -80,6 +80,7 @@ def generate(
     logits, cache = qwen3.forward(
         params, cfg, inputs_embeds=inputs_embeds,
         attention_mask=mask, positions=positions, cache=cache, cache_offset=0,
+        prefill_padding="left",  # engine prompts are left-padded → flash path
     )
     next_logits = logits[:, -1]
     next_pos = positions[:, -1] + 1

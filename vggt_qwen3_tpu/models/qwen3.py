@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..config import Qwen3Config
 from ..ops import quant
-from ..ops.attention import combine_masks, make_causal_mask, mha
+from ..ops.attention import attend, combine_masks, flash_eligible, make_causal_mask, mha
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope, rope_cos_sin
 
@@ -139,6 +139,7 @@ def forward_hidden(
     positions: Optional[jnp.ndarray] = None,
     cache: Optional[Dict[str, jnp.ndarray]] = None,
     cache_offset: int | jnp.ndarray = 0,
+    prefill_padding: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     """Run the decoder stack.
 
@@ -150,6 +151,10 @@ def forward_hidden(
             ``cache_offset + arange(S)``.
         cache: optional KV cache from :func:`init_cache`; updated copy returned.
         cache_offset: slot index where this segment's KV entries are written.
+        prefill_padding: 'left' | 'right' — declares the prompt's padding as
+            contiguous, unlocking the Pallas flash-attention prefill path
+            (inference only; the kernel has no VJP). Requires
+            ``cache_offset == 0`` with a cache present.
     Returns:
         (hidden [B, S, H], updated cache or None)
     """
@@ -172,6 +177,26 @@ def forward_hidden(
     if cache is not None:
         L = cfg.num_layers
 
+        # Flash prefill: with contiguous padding declared and the cache empty
+        # (offset 0), attention over the freshly-computed K/V of the prompt is
+        # exactly attention over the cache — run the Pallas kernel on it.
+        use_flash = (
+            prefill_padding is not None
+            and S > 1
+            and flash_eligible(S, S, cfg.head_dim)
+        )
+        if use_flash:
+            prompt_mask = (
+                attention_mask[:, :S].astype(jnp.int32)
+                if attention_mask is not None
+                else jnp.ones((B, S), jnp.int32)
+            )
+            lengths = prompt_mask.sum(-1)
+            if prefill_padding == "left":
+                kv_start, kv_end = S - lengths, None
+            else:
+                kv_start, kv_end = None, lengths
+
         def body(carry, xs):
             h, kc_full, vc_full = carry
             lp, li = xs
@@ -184,9 +209,12 @@ def forward_hidden(
             vc_full = jax.lax.dynamic_update_slice(
                 vc_full, v.astype(vc_full.dtype)[None], (li, 0, cache_offset, 0, 0)
             )
-            kc = jax.lax.dynamic_index_in_dim(kc_full, li, axis=0, keepdims=False)
-            vc = jax.lax.dynamic_index_in_dim(vc_full, li, axis=0, keepdims=False)
-            attn = mha(q, kc, vc, mask=mask)
+            if use_flash:
+                attn = attend(q, k, v, causal=True, kv_start=kv_start, kv_end=kv_end)
+            else:
+                kc = jax.lax.dynamic_index_in_dim(kc_full, li, axis=0, keepdims=False)
+                vc = jax.lax.dynamic_index_in_dim(vc_full, li, axis=0, keepdims=False)
+                attn = mha(q, kc, vc, mask=mask)
             h = _layer_post_attn(cfg, h, lp, attn)
             return (h, kc_full, vc_full), None
 
@@ -247,6 +275,7 @@ def forward(
     positions: Optional[jnp.ndarray] = None,
     cache: Optional[Dict[str, jnp.ndarray]] = None,
     cache_offset: int | jnp.ndarray = 0,
+    prefill_padding: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     """Full forward → (float32 logits [B, S, V], updated cache)."""
     if inputs_embeds is None:
@@ -260,5 +289,6 @@ def forward(
         positions=positions,
         cache=cache,
         cache_offset=cache_offset,
+        prefill_padding=prefill_padding,
     )
     return lm_logits(params, cfg, hidden), new_cache

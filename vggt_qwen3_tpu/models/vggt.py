@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import VGGTConfig
-from ..ops.attention import mha
+from ..ops.attention import attend
 from ..ops.norms import layer_norm
 from ..ops.rope2d import apply_rope2d, rope2d_cos_sin
 
@@ -129,7 +129,8 @@ def _vit_block(x, bp, num_heads, eps, *, cos=None, sin=None, rot_mask=None):
     if cos is not None:
         q = apply_rope2d(q, cos, sin, rot_mask)
         k = apply_rope2d(k, cos, sin, rot_mask)
-    attn = mha(q, k, v).reshape(B, T, E)
+    # dense non-causal attention → flash on TPU (frame & global blocks)
+    attn = attend(q, k, v).reshape(B, T, E)
     attn = attn @ bp["proj_w"] + bp["proj_b"]
     x = x + bp["ls1"] * attn
     h = layer_norm(x, bp["ln2_w"], bp["ln2_b"], eps)

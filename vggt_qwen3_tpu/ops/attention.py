@@ -11,7 +11,50 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
+
+
+def flash_eligible(S: int, T: int, D: int) -> bool:
+    """Dispatch gate for the Pallas flash kernel: TPU backend, sequence long
+    enough to amortize kernel launch, lane-aligned head dim."""
+    return (
+        jax.default_backend() == "tpu"
+        and S >= 128
+        and T >= 128
+        and D % 8 == 0
+    )
+
+
+def attend(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = False,
+    kv_start: Optional[jnp.ndarray] = None,
+    kv_end: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Structured-mask attention: causal + contiguous per-row validity bounds.
+
+    Routes to the Pallas flash kernel on TPU at profitable sizes, else builds
+    the boolean mask and uses the XLA reference path — results match to fp32
+    reassociation (tested)."""
+    B, S, _, D = q.shape
+    T = k.shape[1]
+    if flash_eligible(S, T, D):
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v, causal=causal, kv_start=kv_start, kv_end=kv_end)
+    masks = []
+    if causal:
+        masks.append(make_causal_mask(S, T)[None, None])
+    kv_pos = jnp.arange(T)[None, :]
+    if kv_start is not None:
+        masks.append((kv_pos >= kv_start[:, None])[:, None, None, :])
+    if kv_end is not None:
+        masks.append((kv_pos < kv_end[:, None])[:, None, None, :])
+    return mha(q, k, v, mask=combine_masks(*masks))
 
 
 def make_causal_mask(q_len: int, kv_len: int, *, q_offset: int = 0) -> jnp.ndarray:
