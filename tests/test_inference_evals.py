@@ -108,3 +108,50 @@ def test_macc_threshold():
     refs = [{"box": a}, {"box": a}]
     assert macc_at_iou(preds, refs, 0.5) == 1.0
     assert macc_at_iou(preds, refs, 0.99) == 0.5
+
+
+def test_loss_heads():
+    import jax.numpy as jnp
+
+    from vggt_qwen3_tpu.train.losses import (
+        action_json_loss,
+        combined_loss,
+        geometry_consistency_loss,
+    )
+
+    pred = jnp.asarray([[1.0, 2.0, 3.0]])
+    tgt = jnp.asarray([[1.0, 2.0, 5.0]])
+    assert float(action_json_loss(pred, tgt)) == np.float32(2.0 / 3)
+    same = jnp.asarray([[0.0, 1.0, 0.0]])
+    assert float(geometry_consistency_loss(same, same)) < 1e-6
+    assert float(geometry_consistency_loss(same, -same)) > 1.9  # opposite normals → ~2
+
+    logits = jnp.zeros((1, 4, 8), jnp.float32)
+    labels = jnp.asarray([[-100, 1, 2, 3]])
+    out = combined_loss(logits, labels, action_pred=pred, action_target=tgt)
+    assert set(out) == {"language", "action_json", "total"}
+    assert abs(float(out["total"]) - float(out["language"]) - float(out["action_json"])) < 1e-6
+
+
+def test_reference_ckpt_converter_prefix_routing(tmp_path):
+    """tools/convert_reference_ckpt.py routes reference module prefixes."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    import torch
+
+    from convert_reference_ckpt import split_by_prefix
+
+    sd = {
+        "text_model.model.embed_tokens.weight": torch.zeros(2),
+        "module.projector.latents": torch.zeros(2),
+        "geom_head.0.weight": torch.zeros(2),
+        "vision_model.aggregator.camera_token": torch.zeros(2),
+        "lm_head.weight": torch.zeros(2),  # bare HF fallthrough → text
+    }
+    groups = split_by_prefix(sd)
+    assert "model.embed_tokens.weight" in groups["text"]
+    assert "latents" in groups["projector"]
+    assert "0.weight" in groups["geom"]
+    assert "aggregator.camera_token" in groups["vision"]
+    assert "lm_head.weight" in groups["text"]

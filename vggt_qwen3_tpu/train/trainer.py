@@ -43,12 +43,14 @@ class TrainState:
 
 def cosine_schedule(lr: float, cfg: TrainConfig) -> optax.Schedule:
     """HF get_cosine_schedule_with_warmup equivalent (train_sft.py:158-163)."""
-    warmup = int(cfg.warmup_ratio * cfg.max_steps)
+    warmup = max(int(cfg.warmup_ratio * cfg.max_steps), 1)
     return optax.warmup_cosine_decay_schedule(
         init_value=0.0,
         peak_value=lr,
-        warmup_steps=max(warmup, 1),
-        decay_steps=cfg.max_steps,
+        warmup_steps=warmup,
+        # decay_steps counts from step 0 and must exceed warmup (tiny runs
+        # with max_steps == warmup would otherwise request 0 decay steps)
+        decay_steps=max(cfg.max_steps, warmup + 1),
         end_value=0.0,
     )
 
