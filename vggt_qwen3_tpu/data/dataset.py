@@ -48,26 +48,36 @@ class MultiViewJsonDataset:
         else:
             files = sorted(root.glob(pattern))
         self.files = files
-        self.index: List[Dict] = []
+        # .jsonl files go through the native mmap indexer (csrc/jsonl_index.cpp)
+        # — records parse lazily on access instead of materializing the whole
+        # dataset at open; .json arrays stay eager (they require full parse).
+        from .jsonl_index import JsonlIndex
+
+        self._eager: List[Dict] = []
+        self._slots: List = []  # dict (eager) | (JsonlIndex, i) (lazy)
         for file in files:
             if file.suffix == ".jsonl":
-                with open(file, "r", encoding="utf-8") as f:
-                    for line in f:
-                        line = line.strip()
-                        if line:
-                            self.index.append(json.loads(line))
+                idx = JsonlIndex(file)
+                self._slots.extend((idx, i) for i in range(len(idx)))
             else:
                 records = json.loads(file.read_text(encoding="utf-8"))
                 if isinstance(records, dict):
                     records = records.get("data") or records.get("samples") or []
                 if not isinstance(records, list):
                     raise ValueError(f"expected a JSON array in {file}")
-                self.index.extend(records)
-        if not self.index:
+                self._slots.extend(records)
+        if not self._slots:
             raise FileNotFoundError(f"no samples found for pattern {config.path_glob}")
 
+    def _record(self, idx: int) -> Dict:
+        slot = self._slots[idx]
+        if isinstance(slot, tuple):
+            source, i = slot
+            return source[i]
+        return slot
+
     def __len__(self) -> int:
-        return len(self.index)
+        return len(self._slots)
 
     def _load_image(self, rel_path: str) -> np.ndarray:
         from PIL import Image
@@ -83,10 +93,10 @@ class MultiViewJsonDataset:
 
     def meta(self, idx: int) -> Dict:
         """Raw record metadata without loading images (qa_inference.py:353)."""
-        return self.index[idx]
+        return self._record(idx)
 
     def __getitem__(self, idx: int) -> Dict:
-        sample = self.index[idx]
+        sample = self._record(idx)
         images = sample["images"][: self.config.num_views]
         return {
             "images": [self._load_image(img) for img in images],
