@@ -6,7 +6,7 @@ weight-value-independent. Prints ONE JSON line:
     {"metric": "qwen3_4b_decode_tok_s_chip", "value": N, "unit": "tok/s",
      "vs_baseline": N/5000}
 
-Env knobs: BENCH_BATCH (default 128), BENCH_DECODE (default 128),
+Env knobs: BENCH_BATCH (default 384), BENCH_KV (int8|bf16, default int8), BENCH_DECODE (default 128),
 BENCH_PROMPT (default 32), BENCH_TINY=1 (smoke: tiny model, CPU-safe).
 
 Timing note: this environment's tunneled TPU backend does not synchronize on
@@ -96,7 +96,7 @@ def main() -> None:
 
     tiny = os.environ.get("BENCH_TINY") == "1"
     cfg = QWEN3_TINY if tiny else QWEN3_4B_INSTRUCT_2507
-    B = int(os.environ.get("BENCH_BATCH", "8" if tiny else "128"))
+    B = int(os.environ.get("BENCH_BATCH", "8" if tiny else "384"))
     decode_steps = int(os.environ.get("BENCH_DECODE", "16" if tiny else "128"))
     prompt_len = int(os.environ.get("BENCH_PROMPT", "8" if tiny else "32"))
     target = 5000.0
@@ -122,6 +122,7 @@ def main() -> None:
         pad_token_id=0,
         repetition_penalty=1.0,
         no_repeat_ngram=0,
+        kv_dtype=None if tiny else os.environ.get("BENCH_KV", "int8"),
     )
     ids = jnp.asarray(np.random.default_rng(0).integers(1, cfg.vocab_size, (B, prompt_len)))
     embeds = qwen3.embed_tokens(params, ids)

@@ -84,3 +84,45 @@ def test_quantized_qwen3_forward_close_to_dense():
     assert agree > 0.9, agree
     # and logits stay numerically close at tiny-model scale
     assert np.abs(d - q).max() / np.abs(d).max() < 0.1
+
+
+def test_int8_kv_cache_generation_close_to_bf16():
+    """int8 KV decode must track the exact-cache greedy outputs (tiny model)."""
+    from vggt_qwen3_tpu.inference.engine import GenerationConfig, generate_text
+
+    cfg = Qwen3Config(
+        vocab_size=256, hidden_size=64, num_layers=2, num_heads=4, num_kv_heads=2,
+        head_dim=16, intermediate_size=128, rope_theta=1e4, tie_word_embeddings=True,
+        dtype="float32",
+    )
+    params = qwen3.init_params(jax.random.PRNGKey(3), cfg, dtype="float32")
+    ids = jnp.asarray(np.random.default_rng(5).integers(1, 256, (2, 10)))
+    exact, _ = generate_text(
+        params, cfg, GenerationConfig(max_new_tokens=12, pad_token_id=0), input_ids=ids
+    )
+    q8, _ = generate_text(
+        params, cfg,
+        GenerationConfig(max_new_tokens=12, pad_token_id=0, kv_dtype="int8"),
+        input_ids=ids,
+    )
+    agree = (np.asarray(exact) == np.asarray(q8)).mean()
+    assert agree >= 0.9, (agree, np.asarray(exact).tolist(), np.asarray(q8).tolist())
+
+
+def test_int8_kv_prefill_decode_consistency():
+    """prefill+decode with int8 cache ≈ cache-free full forward logits."""
+    cfg = Qwen3Config(
+        vocab_size=128, hidden_size=64, num_layers=2, num_heads=4, num_kv_heads=2,
+        head_dim=16, intermediate_size=96, rope_theta=1e4, tie_word_embeddings=True,
+        dtype="float32",
+    )
+    params = qwen3.init_params(jax.random.PRNGKey(1), cfg, dtype="float32")
+    ids = jnp.asarray(np.random.default_rng(2).integers(0, 128, (1, 9)))
+    full, _ = qwen3.forward(params, cfg, input_ids=ids)
+    cache = qwen3.init_cache(cfg, 1, 12, dtype="int8")
+    mask = jnp.zeros((1, 12), jnp.int32).at[:, :9].set(1)
+    logits, cache = qwen3.forward(
+        params, cfg, input_ids=ids, attention_mask=mask, cache=cache, cache_offset=0
+    )
+    # int8 quantization noise bounded: compare top-1 at final position
+    assert int(logits[:, -1].argmax()) == int(full[:, -1].argmax())

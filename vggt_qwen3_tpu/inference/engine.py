@@ -38,6 +38,9 @@ class GenerationConfig:
     # text-only call). When generating from inputs_embeds, HF starts its
     # rolling input_ids empty, so this must be False for that path.
     penalize_prompt: bool = False
+    # KV cache storage: None → model dtype (bf16, exact); "int8" → quantized
+    # per-(token, head) — halves decode KV traffic, near-lossless greedy.
+    kv_dtype: Optional[str] = None
 
 
 def _processors(logits, seen_ids, seen_len, gen_cfg: GenerationConfig):
@@ -72,7 +75,7 @@ def generate(
     N = gen_cfg.max_new_tokens
     total = S + N
 
-    cache = qwen3.init_cache(cfg, B, total, dtype=cfg.dtype)
+    cache = qwen3.init_cache(cfg, B, total, dtype=gen_cfg.kv_dtype or cfg.dtype)
     mask = jnp.zeros((B, total), jnp.int32)
     mask = mask.at[:, :S].set(attention_mask.astype(jnp.int32))
     positions = jnp.maximum(jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1, 0)

@@ -75,10 +75,32 @@ def init_params(rng: jax.Array, cfg: Qwen3Config, dtype: Optional[str] = None) -
 def init_cache(
     cfg: Qwen3Config, batch: int, max_len: int, dtype: Optional[str] = None
 ) -> Dict[str, jnp.ndarray]:
-    """Contiguous KV cache: k/v of shape [L, B, max_len, NKV, D]."""
+    """Contiguous KV cache: k/v of shape [L, B, max_len, NKV, D].
+
+    ``dtype='int8'`` stores quantized K/V with per-(token, head) bf16 scales
+    (``ks``/``vs`` [L, B, T, NKV]) — halves decode KV traffic, the dominant
+    HBM cost after weight quantization; opt-in (default bf16 for parity).
+    """
+    if (dtype or cfg.dtype) == "int8":
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        sshape = shape[:-1]
+        return {
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "ks": jnp.zeros(sshape, jnp.bfloat16),
+            "vs": jnp.zeros(sshape, jnp.bfloat16),
+        }
     dt = jnp.dtype(dtype or cfg.dtype)
     shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
     return {"k": jnp.zeros(shape, dtype=dt), "v": jnp.zeros(shape, dtype=dt)}
+
+
+def _quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[B, S, K, D] → (int8 values, bf16 per-(token, head) scales [B, S, K])."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s.astype(jnp.bfloat16)
 
 
 # ---------------------------------------------------------------------------
@@ -197,31 +219,52 @@ def forward_hidden(
             else:
                 kv_start, kv_end = None, lengths
 
+        quantized_kv = "ks" in cache
+
         def body(carry, xs):
-            h, kc_full, vc_full = carry
+            h, c = carry
             lp, li = xs
             q, k, v = _layer_qkv(cfg, h, lp, cos, sin)
             # single-token in-place writes into the full [L, B, T, NKV, D]
             # carry — only S new entries hit HBM, never a whole layer slice
-            kc_full = jax.lax.dynamic_update_slice(
-                kc_full, k.astype(kc_full.dtype)[None], (li, 0, cache_offset, 0, 0)
-            )
-            vc_full = jax.lax.dynamic_update_slice(
-                vc_full, v.astype(vc_full.dtype)[None], (li, 0, cache_offset, 0, 0)
-            )
+            if quantized_kv:
+                k8, ks = _quantize_kv(k)
+                v8, vs = _quantize_kv(v)
+                c = dict(
+                    c,
+                    k=jax.lax.dynamic_update_slice(c["k"], k8[None], (li, 0, cache_offset, 0, 0)),
+                    v=jax.lax.dynamic_update_slice(c["v"], v8[None], (li, 0, cache_offset, 0, 0)),
+                    ks=jax.lax.dynamic_update_slice(c["ks"], ks[None], (li, 0, cache_offset, 0)),
+                    vs=jax.lax.dynamic_update_slice(c["vs"], vs[None], (li, 0, cache_offset, 0)),
+                )
+            else:
+                c = dict(
+                    c,
+                    k=jax.lax.dynamic_update_slice(
+                        c["k"], k.astype(c["k"].dtype)[None], (li, 0, cache_offset, 0, 0)
+                    ),
+                    v=jax.lax.dynamic_update_slice(
+                        c["v"], v.astype(c["v"].dtype)[None], (li, 0, cache_offset, 0, 0)
+                    ),
+                )
             if use_flash:
                 attn = attend(q, k, v, causal=True, kv_start=kv_start, kv_end=kv_end)
             else:
-                kc = jax.lax.dynamic_index_in_dim(kc_full, li, axis=0, keepdims=False)
-                vc = jax.lax.dynamic_index_in_dim(vc_full, li, axis=0, keepdims=False)
+                kc = jax.lax.dynamic_index_in_dim(c["k"], li, axis=0, keepdims=False)
+                vc = jax.lax.dynamic_index_in_dim(c["v"], li, axis=0, keepdims=False)
+                if quantized_kv:
+                    # dequant fused into the attention einsum operand by XLA
+                    ksl = jax.lax.dynamic_index_in_dim(c["ks"], li, axis=0, keepdims=False)
+                    vsl = jax.lax.dynamic_index_in_dim(c["vs"], li, axis=0, keepdims=False)
+                    kc = kc.astype(jnp.bfloat16) * ksl[..., None]
+                    vc = vc.astype(jnp.bfloat16) * vsl[..., None]
                 attn = mha(q, kc, vc, mask=mask)
             h = _layer_post_attn(cfg, h, lp, attn)
-            return (h, kc_full, vc_full), None
+            return (h, c), None
 
-        (h, k_new, v_new), _ = jax.lax.scan(
-            body, (h, cache["k"], cache["v"]), (params["layers"], jnp.arange(L))
+        (h, new_cache), _ = jax.lax.scan(
+            body, (h, dict(cache)), (params["layers"], jnp.arange(L))
         )
-        new_cache = {"k": k_new, "v": v_new}
     else:
         def body(h, lp):
             h, _, _ = _layer_step(cfg, h, lp, None, None, cos, sin, mask, 0)
