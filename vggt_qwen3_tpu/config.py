@@ -176,6 +176,27 @@ class VLMConfig:
 
 
 @dataclass(frozen=True)
+class LoRAConfig:
+    """Mirrors the ``lora:`` block (``configs/stage1_3d.yaml:39-48``).
+
+    The reference parses this and installs PEFT but never applies it —
+    training there is full fine-tuning (SURVEY.md §5.6). Here LoRA is real:
+    when enabled, the text model's base weights freeze and low-rank adapters
+    train on the target projections.
+    """
+
+    enable: bool = False
+    rank: int = 16
+    alpha: int = 32
+    dropout: float = 0.05
+    target_modules: Tuple[str, ...] = ("q_proj", "k_proj", "v_proj", "o_proj")
+
+    @property
+    def scale(self) -> float:
+        return self.alpha / self.rank
+
+
+@dataclass(frozen=True)
 class DataConfig:
     """Mirrors the ``data:`` block (``configs/stage1_3d.yaml:12-21``)."""
 
@@ -234,6 +255,10 @@ class StageConfig:
     data: DataConfig
     train: TrainConfig
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    lora: LoRAConfig = field(default_factory=LoRAConfig)
+    # Freeze the bottom-N text layers (reference declares e.g. [0,1,2,3] in
+    # stage1_3d.yaml:9 but never acts on it; here it masks their updates).
+    freeze_text_layers: Tuple[int, ...] = ()
     # Passthrough of reference-YAML keys we accept but do not act on yet.
     extras: Dict[str, Any] = field(default_factory=dict)
     text_model_name: str = "Qwen/Qwen3-4B-Instruct-2507"
@@ -327,11 +352,21 @@ def load_stage_config(
     )
 
     extras = {k: v for k, v in raw.items() if k not in ("model", "data", "train")}
+    lc = raw.get("lora") or {}
+    lora = LoRAConfig(
+        enable=bool(lc.get("enable", False)),
+        rank=int(lc.get("rank", 16)),
+        alpha=int(lc.get("alpha", 32)),
+        dropout=float(lc.get("dropout", 0.05)),
+        target_modules=tuple(lc.get("target_modules", ("q_proj", "k_proj", "v_proj", "o_proj"))),
+    )
     return StageConfig(
         model=model,
         data=data,
         train=train,
         mesh=mesh or MeshConfig(),
+        lora=lora,
+        freeze_text_layers=tuple(mc.get("freeze_text_layers") or ()),
         extras=extras,
         text_model_name=mc.get("name_or_path", "Qwen/Qwen3-4B-Instruct-2507"),
         tokenizer_path=mc.get("tokenizer_path"),

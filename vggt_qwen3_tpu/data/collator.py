@@ -35,11 +35,20 @@ class MultiViewCollator:
         max_length: int,
         num_vis_tokens: int = 128,
         geom_tokens: int = 8,
+        view_dropout: float = 0.0,
+        seed: int = 0,
     ) -> None:
         self.image_size = image_size
         self.tokenizer = tokenizer
         self.max_length = max_length
         self.min_text_length = num_vis_tokens + geom_tokens + 64
+        # view dropout (reference declares data.view_dropout but never applies
+        # it — SURVEY.md §5.6): each non-first view is replaced by a kept view
+        # with prob p at collate time, keeping batch shapes static.
+        self.view_dropout = view_dropout
+        import random as _random
+
+        self._rng = _random.Random(seed)
 
     def _encode(self, text: str) -> List[int]:
         enc = self.tokenizer(text, add_special_tokens=False)
@@ -48,7 +57,16 @@ class MultiViewCollator:
     def __call__(self, batch: List[Dict]) -> Dict[str, Optional[np.ndarray]]:
         pixel, ids_list, labels_list, geoms = [], [], [], []
         for sample in batch:
-            views = preprocess_views(sample["images"], self.image_size)
+            images = list(sample["images"])
+            if self.view_dropout > 0.0 and len(images) > 1:
+                kept = [images[0]] + [
+                    im for im in images[1:] if self._rng.random() >= self.view_dropout
+                ]
+                # duplicate kept views to preserve the static view count
+                while len(kept) < len(images):
+                    kept.append(kept[self._rng.randrange(len(kept))])
+                images = kept
+            views = preprocess_views(images, self.image_size)
             pixel.append(np.asarray(views))
             answer_obj = sample["answer"]
             answer = answer_obj if isinstance(answer_obj, str) else json.dumps(

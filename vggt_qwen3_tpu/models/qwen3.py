@@ -121,9 +121,9 @@ def _layer_qkv(cfg: Qwen3Config, h, lp, cos, sin):
     B, S, _ = h.shape
     D, NH, NKV = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
     x = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
-    q = quant.linear(x, lp["wq"]).reshape(B, S, NH, D)
-    k = quant.linear(x, lp["wk"]).reshape(B, S, NKV, D)
-    v = quant.linear(x, lp["wv"]).reshape(B, S, NKV, D)
+    q = _maybe_lora(lp, "wq", x, quant.linear(x, lp["wq"])).reshape(B, S, NH, D)
+    k = _maybe_lora(lp, "wk", x, quant.linear(x, lp["wk"])).reshape(B, S, NKV, D)
+    v = _maybe_lora(lp, "wv", x, quant.linear(x, lp["wv"])).reshape(B, S, NKV, D)
     q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
     k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
     q = apply_rope(q, cos, sin)
@@ -133,10 +133,13 @@ def _layer_qkv(cfg: Qwen3Config, h, lp, cos, sin):
 
 def _layer_post_attn(cfg: Qwen3Config, h, lp, attn):
     B, S, _ = h.shape
-    h = h + quant.linear(attn.reshape(B, S, cfg.num_heads * cfg.head_dim), lp["wo"])
+    a = attn.reshape(B, S, cfg.num_heads * cfg.head_dim)
+    h = h + _maybe_lora(lp, "wo", a, quant.linear(a, lp["wo"]))
     x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-    gated = jax.nn.silu(quant.linear(x, lp["gate"])) * quant.linear(x, lp["up"])
-    return h + quant.linear(gated, lp["down"])
+    gated = jax.nn.silu(_maybe_lora(lp, "gate", x, quant.linear(x, lp["gate"]))) * _maybe_lora(
+        lp, "up", x, quant.linear(x, lp["up"])
+    )
+    return h + _maybe_lora(lp, "down", gated, quant.linear(gated, lp["down"]))
 
 
 def _layer_step(cfg: Qwen3Config, h, lp, kc, vc, cos, sin, mask, cache_offset):
@@ -278,6 +281,52 @@ def forward_hidden(
 
 
 QUANTIZED_LAYER_KEYS = ("wq", "wk", "wv", "wo", "gate", "up", "down")
+
+# HF/PEFT module names (the reference's lora.target_modules —
+# configs/stage1_3d.yaml:43-48) → our stacked-layer keys.
+LORA_TARGET_MAP = {
+    "q_proj": "wq",
+    "k_proj": "wk",
+    "v_proj": "wv",
+    "o_proj": "wo",
+    "gate_proj": "gate",
+    "up_proj": "up",
+    "down_proj": "down",
+}
+
+
+def add_lora(params: Params, cfg: Qwen3Config, lora_cfg, rng: jax.Array) -> Params:
+    """Attach low-rank adapters: for each target projection W [L, in, out],
+    train ΔW = (A @ B) · α/r with A ~ N(0, 0.02), B = 0 (standard LoRA init —
+    the adapted model starts exactly at the base model). The scale is stored
+    alongside as a [L, 1] constant so the pytree is self-contained."""
+    r = lora_cfg.rank
+    L = cfg.num_layers
+    lora: Dict[str, Dict[str, jnp.ndarray]] = {}
+    for i, name in enumerate(lora_cfg.target_modules):
+        key = LORA_TARGET_MAP[name]
+        w = params["layers"][key]
+        in_dim, out_dim = (w["w8"].shape[-2:] if isinstance(w, dict) else w.shape[-2:])
+        dt = (w["scale"].dtype if isinstance(w, dict) else w.dtype)
+        k = jax.random.fold_in(rng, i)
+        lora[key] = {
+            "A": (jax.random.normal(k, (L, in_dim, r), jnp.float32) * 0.02).astype(dt),
+            "B": jnp.zeros((L, r, out_dim), dt),
+            "s": jnp.full((L, 1), lora_cfg.scale, dt),
+        }
+    out = dict(params)
+    out["layers"] = dict(params["layers"], lora=lora)
+    return out
+
+
+def _maybe_lora(lp, key: str, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """y + LoRA delta for projection ``key`` when an adapter is present."""
+    lora = lp.get("lora") if isinstance(lp, dict) else None
+    if lora is None or key not in lora:
+        return y
+    ad = lora[key]
+    delta = (x @ ad["A"]) @ ad["B"]
+    return y + delta * ad["s"][0]
 
 
 def quantize_params(params: Params) -> Params:

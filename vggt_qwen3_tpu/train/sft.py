@@ -114,6 +114,8 @@ def build_data(stage, args, tokenizer):
         stage.data.max_length,
         num_vis_tokens=stage.model.num_vis_tokens,
         geom_tokens=stage.model.geom_tokens,
+        view_dropout=stage.data.view_dropout,
+        seed=stage.train.seed,
     )
     global_batch = stage.train.batch_size_per_device * stage.mesh.dp * stage.mesh.fsdp
     return data_loader(

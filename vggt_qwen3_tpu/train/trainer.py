@@ -55,24 +55,67 @@ def cosine_schedule(lr: float, cfg: TrainConfig) -> optax.Schedule:
     )
 
 
-def param_group_labels(params: Any, freeze_vision: bool) -> Any:
+def param_group_labels(params: Any, freeze_vision: bool, *, lora: bool = False) -> Any:
     """'base' (Qwen3) / 'proj' (projector + geom head) / 'frozen' (vision).
 
     Mirrors the reference's name-based grouping (``train_sft.py:138-145``:
-    "projector" or "geom_head" in name → proj group)."""
+    "projector" or "geom_head" in name → proj group). With ``lora=True`` the
+    text model's base weights freeze and only the adapters take the base lr —
+    the behavior the reference's ``lora:`` block promised but never wired
+    (SURVEY.md §5.6)."""
 
     def label(path, _leaf):
-        top = path[0].key if hasattr(path[0], "key") else str(path[0])
+        keys = [p.key if hasattr(p, "key") else str(p) for p in path]
+        top = keys[0]
         if top in ("projector", "geom"):
             return "proj"
         if top == "vision":
             return "frozen" if freeze_vision else "base"
+        if top == "text" and lora:
+            return "base" if "lora" in keys else "frozen"
         return "base"
 
     return jax.tree_util.tree_map_with_path(label, params)
 
 
-def build_optimizer(cfg: TrainConfig, labels: Any) -> optax.GradientTransformation:
+def freeze_text_layers_mask(frozen: tuple, num_layers: int) -> optax.GradientTransformation:
+    """Zero updates for frozen layer indices on stacked text-layer params
+    ([L, ...] leading layer axis). Implements the reference's declared-but-
+    unwired ``freeze_text_layers`` (stage1_3d.yaml:9, SURVEY.md §5.6)."""
+    import numpy as np
+
+    def update_fn(updates, state, params=None):
+        del params
+        keep = np.ones((num_layers,), np.float32)
+        for i in frozen:
+            keep[i] = 0.0
+
+        def mask(path, u):
+            keys = [p.key if hasattr(p, "key") else str(p) for p in path]
+            if (
+                len(keys) >= 2
+                and keys[0] == "text"
+                and keys[1] == "layers"
+                and hasattr(u, "ndim")
+                and u.ndim >= 1
+                and u.shape[0] == num_layers
+            ):
+                k = jnp.asarray(keep, u.dtype).reshape((num_layers,) + (1,) * (u.ndim - 1))
+                return u * k
+            return u
+
+        return jax.tree_util.tree_map_with_path(mask, updates), state
+
+    return optax.GradientTransformation(lambda _: optax.EmptyState(), update_fn)
+
+
+def build_optimizer(
+    cfg: TrainConfig,
+    labels: Any,
+    *,
+    freeze_text_layers: tuple = (),
+    num_text_layers: int = 0,
+) -> optax.GradientTransformation:
     def adamw(lr: float) -> optax.GradientTransformation:
         return optax.adamw(
             cosine_schedule(lr, cfg),
@@ -82,7 +125,7 @@ def build_optimizer(cfg: TrainConfig, labels: Any) -> optax.GradientTransformati
             weight_decay=cfg.weight_decay,
         )
 
-    tx = optax.chain(
+    parts = [
         optax.clip_by_global_norm(cfg.gradient_clip),
         optax.multi_transform(
             {
@@ -92,7 +135,10 @@ def build_optimizer(cfg: TrainConfig, labels: Any) -> optax.GradientTransformati
             },
             labels,
         ),
-    )
+    ]
+    if freeze_text_layers and num_text_layers:
+        parts.append(freeze_text_layers_mask(freeze_text_layers, num_text_layers))
+    tx = optax.chain(*parts)
     if cfg.grad_accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum)
     return tx
@@ -101,14 +147,27 @@ def build_optimizer(cfg: TrainConfig, labels: Any) -> optax.GradientTransformati
 def make_tx(stage: StageConfig, params_shape: Any) -> optax.GradientTransformation:
     """Optimizer from the stage config; ``params_shape`` may be abstract
     (eval_shape output) — labels only need the tree structure."""
-    labels = param_group_labels(params_shape, stage.model.freeze_vision)
-    return build_optimizer(stage.train, labels)
+    labels = param_group_labels(
+        params_shape, stage.model.freeze_vision, lora=stage.lora.enable
+    )
+    return build_optimizer(
+        stage.train,
+        labels,
+        freeze_text_layers=stage.freeze_text_layers,
+        num_text_layers=stage.model.text.num_layers,
+    )
 
 
 def init_train_state(
     rng: jax.Array, stage: StageConfig, *, dtype: Optional[str] = None
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     params = vlm.init_params(rng, stage.model, dtype=dtype)
+    if stage.lora.enable:
+        from ..models import qwen3 as qwen3_mod
+
+        params["text"] = qwen3_mod.add_lora(
+            params["text"], stage.model.text, stage.lora, jax.random.fold_in(rng, 7)
+        )
     tx = make_tx(stage, params)
     opt_state = tx.init(params)
     return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32)), tx
