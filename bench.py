@@ -83,6 +83,72 @@ def e2e_mode() -> None:
     )
 
 
+def qa_mode() -> None:
+    """BENCH_MODE=qa: batched QA pipeline throughput (samples/sec/chip) —
+    the first metric BASELINE.json names. Full path per sample: 448² bird
+    view → VGGT-1B → Perceiver → splice → prefill → 32-token greedy decode
+    with repetition penalty, batch BENCH_QA_BATCH (default 32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vggt_qwen3_tpu.config import (
+        PerceiverConfig,
+        QWEN3_4B_INSTRUCT_2507,
+        VGGT_1B,
+        VLMConfig,
+    )
+    from vggt_qwen3_tpu.inference.engine import GenerationConfig, generate
+    from vggt_qwen3_tpu.models import qwen3, vlm
+
+    B = int(os.environ.get("BENCH_QA_BATCH", "32"))
+    cfg = VLMConfig(
+        text=QWEN3_4B_INSTRUCT_2507, vision=VGGT_1B, projector=PerceiverConfig(),
+        num_vis_tokens=128, geom_tokens=0, dtype="bfloat16",
+    )
+    params = vlm.init_params(jax.random.PRNGKey(0), cfg, dtype="bfloat16")
+    params["text"] = qwen3.quantize_params(params["text"])
+    np.asarray(jax.tree.leaves(params)[0][0])
+
+    img_id = cfg.text.vocab_size - 1
+    images = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (B, 1, 3, 448, 448)), jnp.bfloat16)
+    ids = jnp.asarray(np.random.default_rng(1).integers(1, 150_000, (B, 30)))
+    gen_cfg = GenerationConfig(
+        max_new_tokens=32, pad_token_id=0, repetition_penalty=1.1, kv_dtype="int8"
+    )
+
+    @jax.jit
+    def batch_qa(params, images, ids):
+        vis = vlm.encode_images(params, cfg, images)
+        emb = qwen3.embed_tokens(params["text"], ids)
+        mask = jnp.ones(ids.shape, jnp.int32)
+        emb2, mask2 = vlm.splice_expand(emb, mask, ids.at[:, 10].set(img_id), vis, img_id)
+        return generate(params["text"], cfg.text, gen_cfg, inputs_embeds=emb2, attention_mask=mask2)
+
+    toks, _ = batch_qa(params, images, ids)
+    np.asarray(toks)
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        toks, _ = batch_qa(params, images, ids)
+        np.asarray(toks)
+        times.append(time.time() - t0)
+    sps = B / min(times)
+    print(
+        json.dumps(
+            {
+                "metric": "qa_samples_per_sec_chip",
+                "value": round(sps, 2),
+                "unit": "samples/s",
+                # baseline: the reference runs this path serially at batch 1
+                # through HF generate; no speed figure published — target the
+                # <200ms/query north star (5 qps).
+                "vs_baseline": round(sps / 5.0, 3),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -93,6 +159,8 @@ def main() -> None:
 
     if os.environ.get("BENCH_MODE") == "e2e":
         return e2e_mode()
+    if os.environ.get("BENCH_MODE") == "qa":
+        return qa_mode()
 
     tiny = os.environ.get("BENCH_TINY") == "1"
     cfg = QWEN3_TINY if tiny else QWEN3_4B_INSTRUCT_2507
