@@ -24,6 +24,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def _spec_for(path: Tuple[str, ...], ndim: int) -> P:
     """PartitionSpec for a parameter at ``path`` (tree keys) with ``ndim``."""
     name = path[-1]
+    # quantized weights: {"w8": [.., K, N], "scale": [.., 1, N]} shard by the
+    # parent projection's rule (scale rows are size-1 → only N shards)
+    if name in ("w8", "scale") and len(path) >= 2:
+        parent = _spec_for(path[:-1] + (path[-2],), ndim)
+        if name == "scale" and ndim >= 2:
+            # [.., 1, N]: never shard the singleton row dim
+            dims = list(parent)
+            dims = dims + [None] * (ndim - len(dims))
+            if len(dims) >= 2:
+                dims[-2] = None
+            return P(*dims)
+        return parent
+    # LoRA adapters are small — replicate
+    if "lora" in path:
+        return P()
     top = path[0] if path else ""
 
     def last2(spec_in, spec_out):
