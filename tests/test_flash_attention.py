@@ -1,5 +1,6 @@
 """Flash-attention kernel numerics vs the XLA reference (interpret mode)."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -117,3 +118,44 @@ def test_flash_prefill_integration_matches_masked_path(monkeypatch):
     r, o = np.asarray(ref), np.asarray(out)
     valid = np.asarray(am[:, :S]).astype(bool)
     np.testing.assert_allclose(o[valid], r[valid], atol=2e-4, rtol=2e-4)
+
+
+def test_flash_has_gradients_via_xla_reference():
+    """custom_vjp: Pallas forward, XLA-reference backward — training through
+    the vision tower must not crash on the missing pallas autodiff rule, and
+    gradients must match the pure-XLA path."""
+    import jax
+
+    B, S, NH, NKV, D = 1, 16, 4, 2, 16
+    q, k, v = rand((B, S, NH, D), 20), rand((B, S, NKV, D), 21), rand((B, S, NKV, D), 22)
+
+    def loss_flash(q, k, v):
+        return flash_attention(q, k, v, block_q=8, block_kv=8, interpret=True).sum()
+
+    def loss_ref(q, k, v):
+        return mha(q, k, v).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5)
+
+
+def test_mha_per_head_mask_contract():
+    """mha must honor a full [B, NH, S, T] per-head mask (was silently
+    misaligned against the grouped score layout)."""
+    B, S, T, NH, NKV, D = 1, 6, 6, 4, 2, 8
+    q, k, v = rand((B, S, NH, D), 23), rand((B, T, NKV, D), 24), rand((B, T, NKV, D), 25)
+    rng = np.random.default_rng(26)
+    mask = jnp.asarray(rng.random((B, NH, S, T)) > 0.3)
+    mask = mask.at[:, :, :, 0].set(True)  # keep ≥1 valid key per row
+    out = mha(q, k, v, mask=mask)
+    # oracle: repeat KV to NH and compute per-head softmax attention
+    kr = jnp.repeat(k, NH // NKV, axis=2)
+    vr = jnp.repeat(v, NH // NKV, axis=2)
+    scores = jnp.einsum("bshd,bthd->bhst", q, kr) * (D**-0.5)
+    scores = jnp.where(mask, scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    ref = jnp.einsum("bhst,bthd->bshd", probs, vr)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+

@@ -38,11 +38,8 @@ def main() -> None:
     args = ap.parse_args()
     preds = load_json_array(args.predictions)
     refs = load_json_array(args.references)
-    correct = sum(
-        int(str(p["answer"]).strip().lower() == str(r["answer"]).strip().lower())
-        for p, r in zip(preds, refs)
-    )
-    acc = correct / max(len(refs), 1)
+    acc = exact_match_accuracy(preds, refs)
+    correct = round(acc * max(len(refs), 1))
     print(f"Accuracy: {acc * 100:.2f}% ({correct}/{len(refs)})")
 
 

@@ -21,15 +21,12 @@ import time
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
-import jax.numpy as jnp
-import numpy as np
 
 from ..config import StageConfig
 from ..data.dataset import DatasetConfig, MultiViewJsonDataset
-from ..data.tokenizer import IMAGE_TOKEN, load_tokenizer, pad_and_mask
-from ..models import qwen3, vlm
-from ..ops.preprocess import preprocess_views
-from .engine import GenerationConfig, generate
+from ..data.tokenizer import IMAGE_TOKEN, load_tokenizer
+from .batching import generate_batch, max_prompt_len
+from .engine import GenerationConfig
 from .postprocess import extract_first_json, postprocess_arkit_generation
 from .qa import build_stage, load_model
 
@@ -62,7 +59,6 @@ def run_inference(
     compute_metrics: bool = True,
     verbose: bool = True,
 ) -> Tuple[List[Dict], Optional[Dict[str, float]]]:
-    image_token_id = tokenizer.convert_tokens_to_ids(IMAGE_TOKEN)
     gen_cfg = GenerationConfig(
         max_new_tokens=max_new_tokens,
         eos_token_id=tokenizer.eos_token_id,
@@ -78,32 +74,18 @@ def run_inference(
     results: List[Dict] = []
     total_with_ref = 0
     total_exact = 0
+    all_questions = [s.get("question") or s.get("instruction") or "" for s in samples]
+    pad_to_len = max_prompt_len(
+        tokenizer, [f"{SYSTEM_HINT}\nInstruction: {q}\n{IMAGE_TOKEN}\n" for q in all_questions]
+    )
     for start in range(0, len(samples), batch_size):
         chunk = samples[start : start + batch_size]
-        questions = [s.get("question") or s.get("instruction") or "" for s in chunk]
+        questions = all_questions[start : start + batch_size]
         prompts = [f"{SYSTEM_HINT}\nInstruction: {q}\n{IMAGE_TOKEN}\n" for q in questions]
-        encoded = [tokenizer(p, add_special_tokens=False)["input_ids"] for p in prompts]
-        padded = pad_and_mask(encoded, tokenizer.pad_token_id, side="left")
-        ids = jnp.asarray(padded["input_ids"], jnp.int32)
-        mask = jnp.asarray(padded["attention_mask"], jnp.int32)
-
-        views = [preprocess_views(s["images"], stage.data.image_size) for s in chunk]
-        v_max = max(v.shape[0] for v in views)
-        views = [
-            jnp.concatenate([v] + [v[-1:]] * (v_max - v.shape[0]), axis=0) if v.shape[0] < v_max else v
-            for v in views
-        ]
-        images = jnp.stack(views, axis=0)
-
-        vis_tokens = vlm.encode_images(params, stage.model, images)
-        embeds = qwen3.embed_tokens(params["text"], ids)
-        embeds, mask2 = vlm.splice_expand(embeds, mask, ids, vis_tokens, image_token_id)
-        tokens, lengths = generate(
-            params["text"], stage.model.text, gen_cfg,
-            inputs_embeds=embeds, attention_mask=mask2,
+        tokens, lengths = generate_batch(
+            params, stage, tokenizer, chunk, prompts, gen_cfg,
+            pad_to_len=pad_to_len, pad_to_batch=batch_size,
         )
-        tokens = np.asarray(tokens)
-        lengths = np.asarray(lengths)
 
         for j, sample in enumerate(chunk):
             idx = start + j

@@ -1,0 +1,82 @@
+"""Shared batch preparation for the inference CLIs.
+
+One implementation of the prompt-encode → left-pad → view-pad → encode_images
+→ splice → generate pipeline serving both the QA and ARKit CLIs, with
+**fixed-shape bucketing**: prompts pad to a caller-chosen length and short
+final chunks pad to the full batch (rows repeated, outputs trimmed), so the
+jitted ``generate`` compiles once per run instead of once per ragged chunk —
+compile time would otherwise dominate the 7k-sample eval.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import StageConfig
+from ..data.tokenizer import IMAGE_TOKEN, pad_and_mask
+from ..models import qwen3, vlm
+from ..ops.preprocess import preprocess_views
+from .engine import GenerationConfig, generate
+
+
+def encode_prompts(tokenizer, prompts: List[str], *, pad_to_len: int) -> Tuple[np.ndarray, np.ndarray]:
+    encoded = [tokenizer(p, add_special_tokens=False)["input_ids"] for p in prompts]
+    padded = pad_and_mask(encoded, tokenizer.pad_token_id, min_length=pad_to_len, side="left")
+    return np.asarray(padded["input_ids"], np.int32), np.asarray(padded["attention_mask"], np.int32)
+
+
+def max_prompt_len(tokenizer, prompts: List[str]) -> int:
+    return max(len(tokenizer(p, add_special_tokens=False)["input_ids"]) for p in prompts)
+
+
+def stack_views(samples: List[Dict], image_size: int) -> jnp.ndarray:
+    """Preprocess each sample's views; ragged view counts pad by repeating the
+    last view (matches the prior per-CLI behavior)."""
+    views = [preprocess_views(s["images"], image_size) for s in samples]
+    v_max = max(v.shape[0] for v in views)
+    views = [
+        jnp.concatenate([v] + [v[-1:]] * (v_max - v.shape[0]), axis=0) if v.shape[0] < v_max else v
+        for v in views
+    ]
+    return jnp.stack(views, axis=0)
+
+
+def generate_batch(
+    params,
+    stage: StageConfig,
+    tokenizer,
+    samples: List[Dict],
+    prompts: List[str],
+    gen_cfg: GenerationConfig,
+    *,
+    pad_to_len: int,
+    pad_to_batch: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Run one spliced-prompt generation batch.
+
+    Returns (tokens [n, max_new], lengths [n]) for the n REAL samples —
+    batch-padding rows are trimmed before returning.
+    """
+    n = len(samples)
+    if pad_to_batch and n < pad_to_batch:
+        samples = samples + [samples[-1]] * (pad_to_batch - n)
+        prompts = prompts + [prompts[-1]] * (pad_to_batch - n)
+
+    ids_np, mask_np = encode_prompts(tokenizer, prompts, pad_to_len=pad_to_len)
+    ids = jnp.asarray(ids_np)
+    mask = jnp.asarray(mask_np)
+    images = stack_views(samples, stage.data.image_size)
+
+    image_token_id = tokenizer.convert_tokens_to_ids(IMAGE_TOKEN)
+    vis_tokens = vlm.encode_images(params, stage.model, images)
+    embeds = qwen3.embed_tokens(params["text"], ids)
+    embeds, mask2 = vlm.splice_expand(embeds, mask, ids, vis_tokens, image_token_id)
+
+    tokens, lengths = generate(
+        params["text"], stage.model.text, gen_cfg,
+        inputs_embeds=embeds, attention_mask=mask2,
+    )
+    return np.asarray(tokens)[:n], np.asarray(lengths)[:n]

@@ -34,10 +34,10 @@ import numpy as np
 
 from ..config import QWEN3_TINY, StageConfig, VGGT_TINY, load_stage_config, PerceiverConfig
 from ..data.dataset import DatasetConfig, MultiViewJsonDataset
-from ..data.tokenizer import IMAGE_TOKEN, load_tokenizer, pad_and_mask
-from ..models import qwen3, vlm
-from ..ops.preprocess import preprocess_views
-from .engine import GenerationConfig, generate
+from ..data.tokenizer import IMAGE_TOKEN, load_tokenizer
+from ..models import vlm
+from .batching import generate_batch, max_prompt_len
+from .engine import GenerationConfig
 from .postprocess import postprocess_qa_answer
 
 
@@ -108,8 +108,6 @@ def run_inference(
     output_path: Optional[Path] = None,
     verbose: bool = True,
 ) -> List[Dict]:
-    image_token_id = tokenizer.convert_tokens_to_ids(IMAGE_TOKEN)
-    image_size = stage.data.image_size
     gen_cfg = GenerationConfig(
         max_new_tokens=max_new_tokens,
         eos_token_id=tokenizer.eos_token_id,
@@ -123,33 +121,17 @@ def run_inference(
 
     results: List[Dict] = []
     t0 = time.time()
+    all_questions = [s.get("question") or s.get("instruction") or "" for s in samples]
+    # fixed bucket across the whole run → generate compiles once
+    pad_to_len = max_prompt_len(tokenizer, [f"{q}\n{IMAGE_TOKEN}\n" for q in all_questions])
     for start in range(0, len(samples), batch_size):
         chunk = samples[start : start + batch_size]
-        questions = [s.get("question") or s.get("instruction") or "" for s in chunk]
+        questions = all_questions[start : start + batch_size]
         prompts = [f"{q}\n{IMAGE_TOKEN}\n" for q in questions]
-        encoded = [tokenizer(p, add_special_tokens=False)["input_ids"] for p in prompts]
-        padded = pad_and_mask(encoded, tokenizer.pad_token_id, side="left")
-        ids = jnp.asarray(padded["input_ids"], jnp.int32)
-        mask = jnp.asarray(padded["attention_mask"], jnp.int32)
-
-        views = [preprocess_views(s["images"], image_size) for s in chunk]
-        v_max = max(v.shape[0] for v in views)
-        views = [
-            jnp.concatenate([v] + [v[-1:]] * (v_max - v.shape[0]), axis=0) if v.shape[0] < v_max else v
-            for v in views
-        ]
-        images = jnp.stack(views, axis=0)
-
-        vis_tokens = vlm.encode_images(params, stage.model, images)
-        embeds = qwen3.embed_tokens(params["text"], ids)
-        embeds, mask2 = vlm.splice_expand(embeds, mask, ids, vis_tokens, image_token_id)
-
-        tokens, lengths = generate(
-            params["text"], stage.model.text, gen_cfg,
-            inputs_embeds=embeds, attention_mask=mask2,
+        tokens, lengths = generate_batch(
+            params, stage, tokenizer, chunk, prompts, gen_cfg,
+            pad_to_len=pad_to_len, pad_to_batch=batch_size,
         )
-        tokens = np.asarray(tokens)
-        lengths = np.asarray(lengths)
 
         for j, sample in enumerate(chunk):
             raw = tokenizer.decode(tokens[j][: lengths[j]], skip_special_tokens=True)

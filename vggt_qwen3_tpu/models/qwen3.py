@@ -216,11 +216,13 @@ def forward_hidden(
                 if attention_mask is not None
                 else jnp.ones((B, S), jnp.int32)
             )
+            # ``prefill_padding`` declares the valid slots form ONE contiguous
+            # run per row; locate it directly ([start, start+length)) rather
+            # than assuming pads sit at a specific end — splice_expand's
+            # no-image fallback yields runs with padding on BOTH sides.
             lengths = prompt_mask.sum(-1)
-            if prefill_padding == "left":
-                kv_start, kv_end = S - lengths, None
-            else:
-                kv_start, kv_end = None, lengths
+            kv_start = jnp.argmax(prompt_mask, axis=-1).astype(jnp.int32)
+            kv_end = kv_start + lengths
 
         quantized_kv = "ks" in cache
 

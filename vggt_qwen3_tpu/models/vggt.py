@@ -216,9 +216,11 @@ def aggregator(
     psi = cfg.patch_start_idx
 
     # camera/register tokens: distinct embeddings for frame 0 vs the rest
-    frame_is_first = (jnp.arange(S) == 0).astype(jnp.int32)  # [S]
-    cam = params["camera_token"][frame_is_first]  # [S, 1, E]
-    reg = params["register_token"][frame_is_first]  # [S, R, E]
+    # (embedding index 0 = first frame, 1 = other frames — init_params and
+    # the checkpoint converter store them in that order)
+    token_idx = (jnp.arange(S) != 0).astype(jnp.int32)  # frame 0 → 0, rest → 1
+    cam = params["camera_token"][token_idx]  # [S, 1, E]
+    reg = params["register_token"][token_idx]  # [S, R, E]
     cam = jnp.broadcast_to(cam[None], (B, S, 1, E)).reshape(B * S, 1, E)
     reg = jnp.broadcast_to(reg[None], (B, S, R, E)).reshape(B * S, R, E)
     tokens = jnp.concatenate([cam.astype(dt), reg.astype(dt), patches], axis=1)

@@ -108,7 +108,14 @@ def mha(
         "bskgd,btkd->bkgst", qg, k, preferred_element_type=jnp.float32
     ) * scale
     if mask is not None:
-        scores = jnp.where(mask[:, None], scores, jnp.finfo(jnp.float32).min)
+        # scores layout is [B, NKV, group, S, T]; per-head masks ([B, NH, S, T])
+        # split their head axis into (NKV, group), head-agnostic masks
+        # ([B, 1, S, T]) broadcast via a singleton group axis.
+        if mask.ndim == 4 and mask.shape[1] == NH and NH > 1:
+            mask = mask.reshape(B, NKV, group, S, T)
+        else:
+            mask = mask[:, None] if mask.ndim == 4 else mask
+        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
     probs = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
     probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
     probs = probs.astype(v.dtype)

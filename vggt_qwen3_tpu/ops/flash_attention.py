@@ -152,41 +152,74 @@ def flash_attention(
     block_q = min(block_q, max(S, 8))
     block_kv = min(block_kv, T)
 
-    # head-major layout for per-(b, h) programs
-    qh = _pad_to(q.transpose(0, 2, 1, 3), 2, block_q)  # [B, NH, S', D]
-    kh = _pad_to(k.transpose(0, 2, 1, 3), 2, block_kv)  # [B, NKV, T', D]
-    vh = _pad_to(v.transpose(0, 2, 1, 3), 2, block_kv)
-    Sp, Tp = qh.shape[2], kh.shape[2]
-    kv_end = jnp.minimum(kv_end.astype(jnp.int32), T)
+    def forward(q, k, v, kv_start, kv_end):
+        # head-major layout for per-(b, h) programs
+        qh = _pad_to(q.transpose(0, 2, 1, 3), 2, block_q)  # [B, NH, S', D]
+        kh = _pad_to(k.transpose(0, 2, 1, 3), 2, block_kv)  # [B, NKV, T', D]
+        vh = _pad_to(v.transpose(0, 2, 1, 3), 2, block_kv)
+        Sp, Tp = qh.shape[2], kh.shape[2]
+        kv_end = jnp.minimum(kv_end.astype(jnp.int32), T)
 
-    grid = (B, NH, Sp // block_q, Tp // block_kv)
-    kernel = functools.partial(_flash_kernel, scale=scale, causal=causal)
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, block_kv, D), lambda b, h, i, j, *_: (b, h // group, j, 0)),
-                pl.BlockSpec((1, 1, block_kv, D), lambda b, h, i, j, *_: (b, h // group, j, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((block_q, 1), jnp.float32),
-                pltpu.VMEM((block_q, 1), jnp.float32),
-                pltpu.VMEM((block_q, D), jnp.float32),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, NH, Sp, D), q.dtype),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * B * NH * S * T * D,
-            bytes_accessed=(B * NH * S * D + 2 * B * NKV * T * D) * 2,
-            transcendentals=B * NH * S * T,
-        ),
-    )(kv_start.astype(jnp.int32), kv_end, qh, kh, vh)
-    return out[:, :, :S].transpose(0, 2, 1, 3)
+        grid = (B, NH, Sp // block_q, Tp // block_kv)
+        kernel = functools.partial(_flash_kernel, scale=scale, causal=causal)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
+                    pl.BlockSpec((1, 1, block_kv, D), lambda b, h, i, j, *_: (b, h // group, j, 0)),
+                    pl.BlockSpec((1, 1, block_kv, D), lambda b, h, i, j, *_: (b, h // group, j, 0)),
+                ],
+                out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
+                scratch_shapes=[
+                    pltpu.VMEM((block_q, 1), jnp.float32),
+                    pltpu.VMEM((block_q, 1), jnp.float32),
+                    pltpu.VMEM((block_q, D), jnp.float32),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, NH, Sp, D), q.dtype),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * B * NH * S * T * D,
+                bytes_accessed=(B * NH * S * D + 2 * B * NKV * T * D) * 2,
+                transcendentals=B * NH * S * T,
+            ),
+        )(kv_start.astype(jnp.int32), kv_end, qh, kh, vh)
+        return out[:, :, :S].transpose(0, 2, 1, 3)
+
+    def reference(q, k, v, kv_start, kv_end):
+        # semantics-equivalent XLA path (used only for the backward pass:
+        # pallas_call has no autodiff rule, so differentiating through the
+        # kernel — e.g. a train step whose param tree includes the vision
+        # tower, even with stop_gradient downstream — would fail at trace)
+        from .attention import combine_masks, make_causal_mask, mha
+
+        kv_pos = jnp.arange(T)[None, :]
+        masks = [
+            (kv_pos >= kv_start[:, None])[:, None, None, :],
+            (kv_pos < kv_end[:, None])[:, None, None, :],
+        ]
+        if causal:
+            masks.append(make_causal_mask(S, T)[None, None])
+        return mha(q, k, v, mask=combine_masks(*masks), scale=scale)
+
+    @jax.custom_vjp
+    def fa(q, k, v, kv_start, kv_end):
+        return forward(q, k, v, kv_start, kv_end)
+
+    def fa_fwd(q, k, v, kv_start, kv_end):
+        return forward(q, k, v, kv_start, kv_end), (q, k, v, kv_start, kv_end)
+
+    def fa_bwd(res, g):
+        q, k, v, kv_start, kv_end = res
+        _, vjp = jax.vjp(lambda q_, k_, v_: reference(q_, k_, v_, kv_start, kv_end), q, k, v)
+        dq, dk, dv = vjp(g)
+        return dq, dk, dv, None, None
+
+    fa.defvjp(fa_fwd, fa_bwd)
+    return fa(q, k, v, kv_start, kv_end)

@@ -129,7 +129,9 @@ def main() -> None:
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    tokenizer = load_tokenizer(None if args.tiny else args.config and None)
+    tokenizer = load_tokenizer(
+        None if args.tiny else (stage.tokenizer_path or stage.text_model_name)
+    )
     image_token_id = tokenizer.convert_tokens_to_ids(IMAGE_TOKEN)
 
     mesh = build_mesh(stage.mesh)
