@@ -1,0 +1,186 @@
+"""Minimal continuous-batching QA serving daemon.
+
+The reference has no serving path at all (SURVEY.md §0: "no serving daemon");
+this closes that gap with a deliberately small design: an HTTP front end
+enqueues requests, a single batcher thread coalesces them (up to
+``--max_batch`` or ``--max_wait_ms``) and runs the compile-once spliced
+generate from ``inference/batching.py``. Requests pad to fixed buckets so the
+device program never retraces at serve time.
+
+    python -m vggt_qwen3_tpu.inference.server --config configs/toy.yaml \
+        --tiny --port 8765 [--max_batch 8] [--max_wait_ms 50]
+
+    curl -s localhost:8765/healthz
+    curl -s -X POST localhost:8765/v1/qa -d '{"question": "What color is the room?",
+        "images": ["data/toy/images/scene000_v0.jpg"]}'
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List
+
+import numpy as np
+
+from ..data.tokenizer import IMAGE_TOKEN, load_tokenizer
+from .batching import generate_batch
+from .engine import GenerationConfig
+from .postprocess import postprocess_qa_answer
+from .qa import build_stage, load_model
+
+
+class QAService:
+    def __init__(self, stage, tokenizer, params, *, max_batch: int, max_wait_ms: float,
+                 max_new_tokens: int, prompt_bucket: int) -> None:
+        self.stage = stage
+        self.tokenizer = tokenizer
+        self.params = params
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self.prompt_bucket = prompt_bucket
+        self.gen_cfg = GenerationConfig(
+            max_new_tokens=max_new_tokens,
+            eos_token_id=tokenizer.eos_token_id,
+            pad_token_id=tokenizer.pad_token_id,
+            repetition_penalty=1.1,
+            kv_dtype="int8",
+        )
+        self.queue: "queue.Queue[tuple[Dict, Future]]" = queue.Queue()
+        self.stats = {"requests": 0, "batches": 0}
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._batcher, daemon=True)
+        self.thread.start()
+
+    def submit(self, request: Dict) -> Future:
+        fut: Future = Future()
+        self.queue.put((request, fut))
+        return fut
+
+    def _load_sample(self, request: Dict) -> Dict:
+        from PIL import Image
+
+        images = [np.asarray(Image.open(p).convert("RGB")) for p in request["images"]]
+        return {"images": images[: self.stage.data.num_views]}
+
+    def _batcher(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self.queue.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.time() + self.max_wait
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self.queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            self._run(batch)
+
+    def _run(self, batch: List) -> None:
+        requests = [r for r, _ in batch]
+        futures = [f for _, f in batch]
+        try:
+            samples = [self._load_sample(r) for r in requests]
+            questions = [r.get("question", "") for r in requests]
+            prompts = [f"{q}\n{IMAGE_TOKEN}\n" for q in questions]
+            tokens, lengths = generate_batch(
+                self.params, self.stage, self.tokenizer, samples, prompts, self.gen_cfg,
+                pad_to_len=self.prompt_bucket, pad_to_batch=self.max_batch,
+            )
+            self.stats["requests"] += len(requests)
+            self.stats["batches"] += 1
+            for i, fut in enumerate(futures):
+                raw = self.tokenizer.decode(tokens[i][: lengths[i]], skip_special_tokens=True)
+                fut.set_result({"prediction": postprocess_qa_answer(raw, questions[i])})
+        except Exception as e:  # surface errors to every waiting request
+            for fut in futures:
+                if not fut.done():
+                    fut.set_exception(e)
+
+    def stop(self) -> None:
+        self._stop.set()
+
+
+def make_handler(service: QAService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _send(self, code: int, payload: Dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok", **service.stats})
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/v1/qa":
+                self._send(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                request = json.loads(self.rfile.read(length) or b"{}")
+                if not request.get("question") or not request.get("images"):
+                    self._send(400, {"error": "required fields: question, images"})
+                    return
+                fut = service.submit(request)
+                result = fut.result(timeout=300)
+                self._send(200, result)
+            except FileNotFoundError as e:
+                self._send(400, {"error": f"image not found: {e}"})
+            except Exception as e:
+                self._send(500, {"error": str(e)})
+
+    return Handler
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="QA serving daemon.")
+    ap.add_argument("--config", default="configs/stage1_3d.yaml")
+    ap.add_argument("--checkpoint_dir", default=None)
+    ap.add_argument("--port", type=int, default=8765)
+    ap.add_argument("--max_batch", type=int, default=8)
+    ap.add_argument("--max_wait_ms", type=float, default=50.0)
+    ap.add_argument("--max_new_tokens", type=int, default=32)
+    ap.add_argument("--prompt_bucket", type=int, default=64)
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--mock_vision", action="store_true")
+    args = ap.parse_args()
+
+    stage = build_stage(args)
+    tokenizer = load_tokenizer(None if args.tiny else stage.tokenizer_path or stage.text_model_name)
+    params = load_model(stage, args.checkpoint_dir)
+    service = QAService(
+        stage, tokenizer, params,
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        max_new_tokens=args.max_new_tokens, prompt_bucket=args.prompt_bucket,
+    )
+    server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(service))
+    print(f"🛰  serving on :{args.port} (max_batch {args.max_batch}, wait {args.max_wait_ms}ms)", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        service.stop()
+
+
+if __name__ == "__main__":
+    main()
