@@ -14,6 +14,8 @@ import sys
 
 sys.path.insert(0, ".")
 
+import vggt_qwen3_tpu  # noqa: F401,E402 — honors JAX_PLATFORMS before backend init (axon quirk)
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()

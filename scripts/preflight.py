@@ -18,6 +18,8 @@ from pathlib import Path
 
 sys.path.insert(0, ".")
 
+import vggt_qwen3_tpu  # noqa: F401,E402 — honors JAX_PLATFORMS before backend init (axon quirk)
+
 CHECKS = []
 
 

@@ -94,6 +94,11 @@ def main() -> None:
         print("nothing to validate (pass --files and/or --config)")
         sys.exit(1)
 
+    for marker in sorted({t.parent / "PLACEHOLDER" for t in targets}):
+        if marker.exists():
+            print(f"⚠️  {marker.parent}: synthetic placeholder data "
+                  f"(scripts/prep/make_placeholder_splits.py) — not real splits")
+
     total_bad = sum(check_file(t, base) for t in targets)
     sys.exit(0 if total_bad == 0 else 1)
 

@@ -18,8 +18,11 @@ case "$STAGE" in
 esac
 
 case "$MODE" in
-  debug) MAX_STEPS="--max_steps 100"; OUT="${OUT}_debug" ;;   # train_fixed.sh:47-50
-  full)  MAX_STEPS="" ;;                                      # YAML max_steps (30k)
+  # debug: 100-step pipeline smoke (train_fixed.sh:47-50). Runs tiny dims +
+  # mock vision so it works with no pretrained weights in the environment;
+  # use `full` (or drop the flags) once real checkpoints are available.
+  debug) EXTRA="--max_steps 100 --tiny --mock_vision"; OUT="${OUT}_debug" ;;
+  full)  EXTRA="" ;;                                          # YAML max_steps (30k)
   *) echo "unknown mode '$MODE' (debug|full)"; exit 1 ;;
 esac
 
@@ -30,7 +33,7 @@ echo "🚀 launching: config=$CONFIG out=$OUT mode=$MODE"
 python -m vggt_qwen3_tpu.train.sft \
   --config "$CONFIG" \
   --output_dir "$OUT" \
-  $MAX_STEPS \
+  $EXTRA \
   "$@"
 
 code=$?

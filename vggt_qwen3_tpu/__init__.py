@@ -16,4 +16,30 @@ Rebuilds the capabilities of the VGGT-Qwen3 RoomPlan stack (reference:
 - ``evals/``   : EM / partial-match / 3D-IoU metrics and the baseline eval driver.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def _honor_jax_platforms_env() -> None:
+    """Make ``JAX_PLATFORMS`` behave as documented on this backend.
+
+    The axon TPU plugin ignores the ``JAX_PLATFORMS`` env var, so subprocesses
+    launched with ``JAX_PLATFORMS=cpu`` (tests, preflight, CI) still grab the
+    TPU tunnel. Enforce the requested platform via ``jax.config`` here — this
+    runs at package import, before any CLI touches a device. No-op when the
+    env var is unset or a backend is already initialized.
+    """
+    import os
+
+    plats = os.environ.get("JAX_PLATFORMS")
+    if not plats:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", plats)
+    except Exception:
+        pass  # backend already initialized; the caller owns platform choice
+
+
+_honor_jax_platforms_env()
+del _honor_jax_platforms_env

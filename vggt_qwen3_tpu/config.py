@@ -351,7 +351,11 @@ def load_stage_config(
         seed=tc.get("seed", 42),
     )
 
-    extras = {k: v for k, v in raw.items() if k not in ("model", "data", "train")}
+    if mesh is None and isinstance(raw.get("mesh"), dict):
+        m = raw["mesh"]
+        mesh = MeshConfig(dp=int(m.get("dp", 1)), fsdp=int(m.get("fsdp", 1)), tp=int(m.get("tp", 1)))
+
+    extras = {k: v for k, v in raw.items() if k not in ("model", "data", "train", "mesh")}
     lc = raw.get("lora") or {}
     lora = LoRAConfig(
         enable=bool(lc.get("enable", False)),

@@ -57,14 +57,23 @@ def parse_args() -> argparse.Namespace:
 
 
 def build_stage(args) -> "StageConfig":
+    # Mesh priority: CLI > YAML `mesh:` block (when it fits the visible
+    # devices) > all-devices fsdp (the ZeRO-3-like default).
     mesh_cfg = None
     if args.dp or args.fsdp or args.tp:
         mesh_cfg = MeshConfig(dp=args.dp or 1, fsdp=args.fsdp or 1, tp=args.tp or 1)
-    else:
-        mesh_cfg = MeshConfig(dp=1, fsdp=len(jax.devices()), tp=1)
     text_cfg = QWEN3_TINY if args.tiny else None
     vision_cfg = VGGT_TINY if args.tiny else None
     stage = load_stage_config(args.config, text_config=text_cfg, vision_config=vision_cfg, mesh=mesh_cfg)
+    n_dev = len(jax.devices())
+    if mesh_cfg is None and stage.mesh.num_devices != n_dev:
+        if stage.mesh.num_devices != 1:
+            print(
+                f"note: config mesh {stage.mesh.shape} needs {stage.mesh.num_devices} "
+                f"devices, have {n_dev} — falling back to fsdp={n_dev}",
+                flush=True,
+            )
+        stage = dataclasses.replace(stage, mesh=MeshConfig(dp=1, fsdp=n_dev, tp=1))
     if args.tiny:
         stage = dataclasses.replace(
             stage,
@@ -77,6 +86,15 @@ def build_stage(args) -> "StageConfig":
                     num_heads=4, num_layers=2, ffn_dim=128, dropout=0.1,
                 ),
                 dtype="float32",
+            ),
+            # Clamp data dims to the tiny vision tower (448px × 8 views per
+            # sample would ship ~86 MB/step through the device tunnel for a
+            # smoke run whose image content is irrelevant).
+            data=dataclasses.replace(
+                stage.data,
+                image_size=VGGT_TINY.img_size,
+                num_views=min(stage.data.num_views, 2),
+                max_length=min(stage.data.max_length, 256),
             ),
         )
     if args.mock_vision:

@@ -88,7 +88,8 @@ def freeze_text_layers_mask(frozen: tuple, num_layers: int) -> optax.GradientTra
         del params
         keep = np.ones((num_layers,), np.float32)
         for i in frozen:
-            keep[i] = 0.0
+            if i < num_layers:  # configs may freeze [0..3] while --tiny has 2 layers
+                keep[i] = 0.0
 
         def mask(path, u):
             keys = [p.key if hasattr(p, "key") else str(p) for p in path]
