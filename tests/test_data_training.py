@@ -175,3 +175,74 @@ def test_checkpoint_save_restore_roundtrip(tmp_path):
     flat_b = jax.tree.leaves(restored.params)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_loader_fast_forward_reproduces_stream(toy_dir):
+    """data_loader(start_batches=k) is bit-identical to batches k.. of the
+    uninterrupted stream, including view-dropout randomness (resume contract,
+    VERDICT r1 item 10)."""
+    from vggt_qwen3_tpu.data.collator import MultiViewCollator, data_loader
+    from vggt_qwen3_tpu.data.dataset import DatasetConfig, MultiViewJsonDataset
+    from vggt_qwen3_tpu.data.tokenizer import load_tokenizer
+
+    ds = MultiViewJsonDataset(
+        DatasetConfig(path_glob=str(toy_dir / "train.jsonl"), num_views=2,
+                      image_size=32, task="toy")
+    )
+    tok = load_tokenizer(None)
+
+    def make(start):
+        coll = MultiViewCollator(32, tok, 96, num_vis_tokens=4, geom_tokens=2,
+                                 view_dropout=0.5, seed=7)
+        return data_loader(ds, coll, 3, shuffle=True, seed=11, start_batches=start)
+
+    full = make(0)
+    batches = [next(full) for _ in range(6)]
+    resumed = make(4)
+    for want in batches[4:]:
+        got = next(resumed)
+        np.testing.assert_array_equal(got["pixel_values"], want["pixel_values"])
+        np.testing.assert_array_equal(got["input_ids"], want["input_ids"])
+        np.testing.assert_array_equal(got["labels"], want["labels"])
+
+
+def test_resume_equivalence_cli(tmp_path):
+    """train 6 steps == train 3 + resume + 3: same logged losses after the
+    resume point (exact batch stream + stateless per-step rng)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    repo = Path(__file__).resolve().parents[1]
+
+    def run(out_dir, *, stop_at=None, resume=False):
+        cmd = [
+            sys.executable, "-m", "vggt_qwen3_tpu.train.sft",
+            "--config", "configs/toy.yaml", "--output_dir", str(out_dir),
+            "--tiny", "--mock_vision", "--max_steps", "6",
+            "--save_every_steps", "3", "--log_every_steps", "1",
+        ]
+        if stop_at is not None:  # early interrupt: same lr-schedule horizon
+            cmd += ["--stop_at_step", str(stop_at)]
+        if resume:
+            cmd += ["--resume"]
+        r = subprocess.run(cmd, cwd=repo, capture_output=True, text=True, timeout=900)
+        assert r.returncode == 0, (r.stdout, r.stderr)
+
+    def losses(out_dir):
+        out = {}
+        for line in (Path(out_dir) / "metrics.jsonl").read_text().splitlines():
+            rec = _json.loads(line)
+            out[rec["step"]] = rec["loss"]
+        return out
+
+    run(tmp_path / "full")
+    run(tmp_path / "split", stop_at=3)
+    run(tmp_path / "split", resume=True)
+
+    full = losses(tmp_path / "full")
+    split = losses(tmp_path / "split")
+    for step in (3, 4, 5):
+        assert step in full and step in split, (full.keys(), split.keys())
+        np.testing.assert_allclose(split[step], full[step], rtol=1e-5,
+                                   err_msg=f"step {step}")

@@ -159,3 +159,118 @@ def test_mha_per_head_mask_contract():
     ref = jnp.einsum("bhst,bthd->bshd", probs, vr)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
+
+
+# ---------------------------------------------------------------------------
+# Real Pallas backward (VERDICT r1 item 4): grad parity vs XLA reference
+# ---------------------------------------------------------------------------
+
+
+def _ref_grads(q, k, v, g, *, causal=False, kv_start=None, kv_end=None):
+    T = k.shape[1]
+
+    def ref(q, k, v):
+        masks = []
+        kv_pos = jnp.arange(T)[None, :]
+        if kv_start is not None:
+            masks.append((kv_pos >= kv_start[:, None])[:, None, None, :])
+        if kv_end is not None:
+            masks.append((kv_pos < kv_end[:, None])[:, None, None, :])
+        if causal:
+            masks.append(make_causal_mask(q.shape[1], T)[None, None])
+        return mha(q, k, v, mask=combine_masks(*masks) if masks else None)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    return vjp(g)
+
+
+def _flash_grads(q, k, v, g, *, causal=False, kv_start=None, kv_end=None, bq=8, bkv=8):
+    def fa(q, k, v):
+        return flash_attention(
+            q, k, v, causal=causal, kv_start=kv_start, kv_end=kv_end,
+            block_q=bq, block_kv=bkv, interpret=True,
+        )
+
+    _, vjp = jax.vjp(fa, q, k, v)
+    return vjp(g)
+
+
+def _assert_grads_close(a, b, atol=3e-5, names=("dq", "dk", "dv")):
+    for ga, gb, name in zip(a, b, names):
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(gb), atol=atol, rtol=1e-4, err_msg=name
+        )
+
+
+def test_backward_noncausal_uneven_blocks():
+    # S, T not multiples of the blocks: exercises padding in all three kernels
+    B, S, T, NH, NKV, D = 2, 13, 21, 4, 2, 16
+    q, k, v = rand((B, S, NH, D), 30), rand((B, T, NKV, D), 31), rand((B, T, NKV, D), 32)
+    g = rand((B, S, NH, D), 33)
+    _assert_grads_close(_flash_grads(q, k, v, g), _ref_grads(q, k, v, g))
+
+
+def test_backward_causal():
+    B, S, NH, NKV, D = 2, 24, 4, 4, 16
+    q, k, v = rand((B, S, NH, D), 40), rand((B, S, NKV, D), 41), rand((B, S, NKV, D), 42)
+    g = rand((B, S, NH, D), 43)
+    _assert_grads_close(
+        _flash_grads(q, k, v, g, causal=True), _ref_grads(q, k, v, g, causal=True)
+    )
+
+
+def test_backward_causal_left_padded_gqa():
+    B, S, NH, NKV, D = 3, 17, 8, 2, 8
+    q, k, v = rand((B, S, NH, D), 50), rand((B, S, NKV, D), 51), rand((B, S, NKV, D), 52)
+    g = rand((B, S, NH, D), 53)
+    starts = jnp.asarray([0, 3, 9], jnp.int32)
+    ends = jnp.asarray([S, S - 2, S], jnp.int32)
+    # Dead rows (left padding: q_pos < start attends to nothing) carry zero
+    # cotangents in real training (loss-masked); the kernels define their
+    # grads as 0 while the XLA ref's all-masked softmax degenerates to
+    # uniform — so compare under dead-zeroed cotangents, the real contract.
+    live = np.asarray(jnp.arange(S)[None] >= starts[:, None])  # [B, S]
+    g = g * jnp.asarray(live)[:, :, None, None]
+    gf = _flash_grads(q, k, v, g, causal=True, kv_start=starts, kv_end=ends)
+    gr = _ref_grads(q, k, v, g, causal=True, kv_start=starts, kv_end=ends)
+    _assert_grads_close(gf, gr)
+    # and with arbitrary (nonzero) dead-row cotangents, flash dq there is 0
+    g_dirty = rand((B, S, NH, D), 54)
+    gf_dirty = _flash_grads(q, k, v, g_dirty, causal=True, kv_start=starts, kv_end=ends)
+    assert np.abs(np.asarray(gf_dirty[0])[~live]).max() == 0.0
+
+
+def test_backward_row_with_no_valid_kv_is_finite():
+    # kv_end == 0 for batch row 1: every q row there is dead — grads must be
+    # finite, zero for dq, and match the ref under dead-zeroed cotangents
+    B, S, NH, NKV, D = 2, 8, 2, 2, 8
+    q, k, v = rand((B, S, NH, D), 60), rand((B, S, NKV, D), 61), rand((B, S, NKV, D), 62)
+    g = rand((B, S, NH, D), 63)
+    ends = jnp.asarray([S, 0], jnp.int32)
+    gf = _flash_grads(q, k, v, g, kv_end=ends)
+    for t in gf:
+        assert np.isfinite(np.asarray(t)).all()
+    assert np.abs(np.asarray(gf[0])[1]).max() == 0.0  # dead dq rows
+    g = g.at[1].set(0.0)
+    _assert_grads_close(
+        _flash_grads(q, k, v, g, kv_end=ends), _ref_grads(q, k, v, g, kv_end=ends)
+    )
+
+
+def test_backward_value_and_grad_through_composite_loss():
+    # non-trivial cotangents: weighted masked loss, not .sum()
+    B, S, NH, NKV, D = 2, 19, 4, 2, 16
+    q, k, v = rand((B, S, NH, D), 70), rand((B, S, NKV, D), 71), rand((B, S, NKV, D), 72)
+    w = rand((B, S, NH, D), 73)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, causal=True, block_q=8, block_kv=8, interpret=True)
+        return jnp.sum(jnp.tanh(o) * w)
+
+    def loss_ref(q, k, v):
+        o = mha(q, k, v, mask=make_causal_mask(S, S)[None, None])
+        return jnp.sum(jnp.tanh(o) * w)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    _assert_grads_close(gf, gr)

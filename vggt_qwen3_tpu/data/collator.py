@@ -46,25 +46,31 @@ class MultiViewCollator:
         # it — SURVEY.md §5.6): each non-first view is replaced by a kept view
         # with prob p at collate time, keeping batch shapes static.
         self.view_dropout = view_dropout
-        import random as _random
-
-        self._rng = _random.Random(seed)
+        self.seed = seed
 
     def _encode(self, text: str) -> List[int]:
         enc = self.tokenizer(text, add_special_tokens=False)
         return list(enc["input_ids"])
 
-    def __call__(self, batch: List[Dict]) -> Dict[str, Optional[np.ndarray]]:
+    def __call__(
+        self, batch: List[Dict], batch_index: int = 0
+    ) -> Dict[str, Optional[np.ndarray]]:
+        # view-dropout randomness is a pure function of (seed, batch_index) so
+        # a resumed run reproduces the exact batch stream without replaying
+        # collation (VERDICT r1 item 10)
+        import random as _random
+
+        rng = _random.Random((self.seed << 24) ^ batch_index)
         pixel, ids_list, labels_list, geoms = [], [], [], []
         for sample in batch:
             images = list(sample["images"])
             if self.view_dropout > 0.0 and len(images) > 1:
                 kept = [images[0]] + [
-                    im for im in images[1:] if self._rng.random() >= self.view_dropout
+                    im for im in images[1:] if rng.random() >= self.view_dropout
                 ]
                 # duplicate kept views to preserve the static view count
                 while len(kept) < len(images):
-                    kept.append(kept[self._rng.randrange(len(kept))])
+                    kept.append(kept[rng.randrange(len(kept))])
                 images = kept
             views = preprocess_views(images, self.image_size)
             pixel.append(np.asarray(views))
@@ -115,12 +121,26 @@ class MultiViewCollator:
         }
 
 
-def data_loader(dataset, collator, batch_size: int, *, shuffle: bool = True, seed: int = 42):
+def data_loader(
+    dataset,
+    collator,
+    batch_size: int,
+    *,
+    shuffle: bool = True,
+    seed: int = 42,
+    start_batches: int = 0,
+):
     """Minimal epoch-cycling loader (the reference uses torch DataLoader with
     shuffle — train_sft.py:58-63); yields collated numpy batches forever.
 
     Batches draw from a continuous shuffled index stream across epoch
-    boundaries, so ``batch_size > len(dataset)`` still yields full batches."""
+    boundaries, so ``batch_size > len(dataset)`` still yields full batches.
+
+    ``start_batches`` fast-forwards the stream: batch ``start_batches`` of a
+    resumed run is bit-identical to that batch of an uninterrupted run — the
+    index stream advances in pure python (no dataset/collation cost) and the
+    collator's randomness keys off the absolute batch index.
+    """
     import random as _random
 
     rng = _random.Random(seed)
@@ -136,6 +156,13 @@ def data_loader(dataset, collator, batch_size: int, *, shuffle: bool = True, see
             yield from order
 
     stream = index_stream()
+    consume = getattr(dataset, "consume_rng", None)
+    for _ in range(start_batches * batch_size):
+        idx = next(stream)
+        if consume is not None:  # stateful per-access draws (MultiSourceDataset)
+            consume(idx)
+    batch_index = start_batches
     while True:
         idxs = [next(stream) for _ in range(batch_size)]
-        yield collator([dataset[i] for i in idxs])
+        yield collator([dataset[i] for i in idxs], batch_index=batch_index)
+        batch_index += 1

@@ -131,3 +131,10 @@ class MultiSourceDataset:
     def __getitem__(self, idx: int) -> Dict:
         ds = self.datasets[self.order[idx % len(self.order)]]
         return ds[self.random.randint(0, len(ds) - 1)]
+
+    def consume_rng(self, idx: int) -> None:
+        """Advance the sampling rng exactly as ``self[idx]`` would, without
+        touching data — lets a resumed loader fast-forward this dataset's
+        stateful draw stream (the reference-parity quirk above) bit-exactly."""
+        ds = self.datasets[self.order[idx % len(self.order)]]
+        self.random.randint(0, len(ds) - 1)

@@ -109,7 +109,10 @@ def _quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def embed_tokens(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
-    return params["embed"][input_ids]
+    emb = params["embed"]
+    if isinstance(emb, dict):  # W8 serving mode: int8 rows × per-vocab scale
+        return emb["w8"][input_ids].astype(emb["scale"].dtype) * emb["scale"][input_ids]
+    return emb[input_ids]
 
 
 def _layer_qkv(cfg: Qwen3Config, h, lp, cos, sin):
@@ -271,6 +274,10 @@ def forward_hidden(
             body, (h, dict(cache)), (params["layers"], jnp.arange(L))
         )
     else:
+        # training path: rematerialize each layer in the backward — stores
+        # one [B, S, H] carry per layer instead of every block intermediate
+        # (jax.checkpoint; the standard TPU memory/FLOPs trade, SURVEY §5.7)
+        @jax.checkpoint
         def body(h, lp):
             h, _, _ = _layer_step(cfg, h, lp, None, None, cos, sin, mask, 0)
             return h, None
@@ -331,9 +338,11 @@ def _maybe_lora(lp, key: str, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return y + delta * ad["s"][0]
 
 
-def quantize_params(params: Params) -> Params:
+def quantize_params(params: Params, *, embed: bool = True) -> Params:
     """bf16 params → W8 serving params: per-output-channel int8 for every
-    layer projection (norms, QK-norms, embeddings stay bf16).
+    layer projection, plus (by default) the token embedding / tied LM head
+    as int8 rows with per-vocab scales — the bf16 head alone streams ~778 MB
+    per decode step on the 4B model (norms and QK-norms stay bf16).
 
     Each source matrix is **donated** to its quantization jit so the bf16
     buffer frees before the next one quantizes — without this, originals and
@@ -347,15 +356,46 @@ def quantize_params(params: Params) -> Params:
         layers[key] = quantize(layers[key])
     out = dict(params)
     out["layers"] = layers
+    if embed:
+        # [V, H] with per-row (per-vocab) scales: the same scale serves the
+        # embedding gather and, transposed, the per-output-channel LM head.
+        def quantize_rows(w):
+            wf = w.astype(jnp.float32)
+            s = jnp.maximum(jnp.max(jnp.abs(wf), axis=-1, keepdims=True), 1e-8) / 127.0
+            w8 = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
+            return {"w8": w8, "scale": s.astype(jnp.bfloat16)}
+
+        out["embed"] = jax.jit(quantize_rows, donate_argnums=0)(params["embed"])
+        if "lm_head" in params:  # untied head: [H, V] → per-output-channel
+            out["lm_head"] = quantize(params["lm_head"])
     return out
 
 
 def lm_logits(params: Params, cfg: Qwen3Config, hidden: jnp.ndarray) -> jnp.ndarray:
     """LM head; float32 logits (HF computes loss/logits in fp32)."""
     if cfg.tie_word_embeddings:
-        w = params["embed"].T
+        w = params["embed"]
+        if isinstance(w, dict):
+            # int8 matmul with the scale applied to the [B,S,V] output —
+            # XLA fuses the row-scale multiply into the matmul epilogue.
+            y = jnp.einsum(
+                "bsh,vh->bsv",
+                hidden,
+                w["w8"].astype(hidden.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            return y * w["scale"][:, 0].astype(jnp.float32)
+        w = w.T
     else:
         w = params["lm_head"]
+        if isinstance(w, dict):
+            y = jnp.einsum(
+                "bsh,hv->bsv",
+                hidden,
+                w["w8"].astype(hidden.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            return y * w["scale"][0].astype(jnp.float32)
     return jnp.einsum("bsh,hv->bsv", hidden, w, preferred_element_type=jnp.float32)
 
 

@@ -170,6 +170,7 @@ def _patch_backbone(params: Params, cfg: VGGTConfig, frames: jnp.ndarray) -> jnp
 
     eps = cfg.layer_norm_eps
 
+    @jax.checkpoint
     def body(h, bp):
         return _vit_block(h, bp, cfg.num_heads, eps), None
 
@@ -249,6 +250,7 @@ def aggregator(
 
     eps = cfg.layer_norm_eps
 
+    @jax.checkpoint
     def pair(x, bps):
         fbp, gbp = bps
         x = _vit_block(x, fbp, cfg.num_heads, eps, cos=cos_frame, sin=sin_frame, rot_mask=mask_frame)

@@ -17,6 +17,12 @@ BlockSpec index map (no K/V repetition).
 Masking: ``kv_start``/``kv_end`` per batch row (left-padding start, valid
 length end) plus optional causal slot ordering — slot-based causality matches
 HF left-padded semantics (see ``models/qwen3.py``).
+
+Backward: real Pallas kernels (flash-attention-2 style). The forward saves the
+per-row logsumexp; ``dq`` recomputes P blockwise sweeping KV per q-block, and
+``dk``/``dv`` sweep (grouped q-heads × q-blocks) per kv-block, accumulating in
+VMEM — so training memory is linear in sequence length too (a 16-view VGGT
+train step fits where a materialized [S,T] backward OOMs).
 """
 
 from __future__ import annotations
@@ -39,6 +45,7 @@ def _flash_kernel(
     k_ref,  # [1, 1, bkv, D]
     v_ref,  # [1, 1, bkv, D]
     out_ref,  # [1, 1, bq, D]
+    lse_ref,  # [1, 1, bq, 128] f32 or None (lane-broadcast logsumexp, for bwd)
     m_ref,  # scratch [bq, 1] f32
     l_ref,  # scratch [bq, 1] f32
     acc_ref,  # scratch [bq, D] f32
@@ -99,6 +106,15 @@ def _flash_kernel(
     def _():
         out = acc_ref[:] / jnp.maximum(l_ref[:], 1e-20)
         out_ref[0, 0] = out.astype(out_ref.dtype)
+        if lse_ref is not None:
+            # dead rows (never saw a valid kv: m still NEG_INF) keep lse at
+            # NEG_INF — the backward kernels zero them explicitly
+            lse = jnp.where(
+                m_ref[:, :1] > NEG_INF * 0.5,
+                m_ref[:, :1] + jnp.log(jnp.maximum(l_ref[:, :1], 1e-30)),
+                NEG_INF,
+            )  # [bq, 1]
+            lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
 def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
@@ -152,7 +168,7 @@ def flash_attention(
     block_q = min(block_q, max(S, 8))
     block_kv = min(block_kv, T)
 
-    def forward(q, k, v, kv_start, kv_end):
+    def forward(q, k, v, kv_start, kv_end, *, with_lse: bool):
         # head-major layout for per-(b, h) programs
         qh = _pad_to(q.transpose(0, 2, 1, 3), 2, block_q)  # [B, NH, S', D]
         kh = _pad_to(k.transpose(0, 2, 1, 3), 2, block_kv)  # [B, NKV, T', D]
@@ -162,7 +178,19 @@ def flash_attention(
 
         grid = (B, NH, Sp // block_q, Tp // block_kv)
         kernel = functools.partial(_flash_kernel, scale=scale, causal=causal)
-        out = pl.pallas_call(
+        out_shape = [jax.ShapeDtypeStruct((B, NH, Sp, D), q.dtype)]
+        out_specs = [pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0))]
+        if with_lse:
+            # lane-broadcast [B, NH, Sp, 128] (rank-3 blocks violate the
+            # Mosaic (8, 128) tiling rule; same convention as jax's own
+            # pallas.ops.tpu.flash_attention MIN_BLOCK_SIZE residuals)
+            out_shape.append(jax.ShapeDtypeStruct((B, NH, Sp, 128), jnp.float32))
+            out_specs.append(
+                pl.BlockSpec((1, 1, block_q, 128), lambda b, h, i, j, *_: (b, h, i, 0))
+            )
+        else:
+            kernel = functools.partial(_no_lse_kernel, kernel)
+        outs = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
@@ -172,14 +200,14 @@ def flash_attention(
                     pl.BlockSpec((1, 1, block_kv, D), lambda b, h, i, j, *_: (b, h // group, j, 0)),
                     pl.BlockSpec((1, 1, block_kv, D), lambda b, h, i, j, *_: (b, h // group, j, 0)),
                 ],
-                out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
+                out_specs=out_specs if with_lse else out_specs[0],
                 scratch_shapes=[
                     pltpu.VMEM((block_q, 1), jnp.float32),
                     pltpu.VMEM((block_q, 1), jnp.float32),
                     pltpu.VMEM((block_q, D), jnp.float32),
                 ],
             ),
-            out_shape=jax.ShapeDtypeStruct((B, NH, Sp, D), q.dtype),
+            out_shape=out_shape if with_lse else out_shape[0],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -190,36 +218,264 @@ def flash_attention(
                 transcendentals=B * NH * S * T,
             ),
         )(kv_start.astype(jnp.int32), kv_end, qh, kh, vh)
-        return out[:, :, :S].transpose(0, 2, 1, 3)
+        if with_lse:
+            out, lse = outs
+            return out[:, :, :S].transpose(0, 2, 1, 3), (out, lse)
+        return outs[:, :, :S].transpose(0, 2, 1, 3)
 
-    def reference(q, k, v, kv_start, kv_end):
-        # semantics-equivalent XLA path (used only for the backward pass:
-        # pallas_call has no autodiff rule, so differentiating through the
-        # kernel — e.g. a train step whose param tree includes the vision
-        # tower, even with stop_gradient downstream — would fail at trace)
-        from .attention import combine_masks, make_causal_mask, mha
-
-        kv_pos = jnp.arange(T)[None, :]
-        masks = [
-            (kv_pos >= kv_start[:, None])[:, None, None, :],
-            (kv_pos < kv_end[:, None])[:, None, None, :],
-        ]
-        if causal:
-            masks.append(make_causal_mask(S, T)[None, None])
-        return mha(q, k, v, mask=combine_masks(*masks), scale=scale)
+    bwd = functools.partial(
+        _flash_backward,
+        scale=scale, causal=causal, group=group, S=S, T=T,
+        block_q=block_q, block_kv=block_kv, interpret=interpret,
+    )
 
     @jax.custom_vjp
     def fa(q, k, v, kv_start, kv_end):
-        return forward(q, k, v, kv_start, kv_end)
+        return forward(q, k, v, kv_start, kv_end, with_lse=False)
 
     def fa_fwd(q, k, v, kv_start, kv_end):
-        return forward(q, k, v, kv_start, kv_end), (q, k, v, kv_start, kv_end)
+        out, (out_h, lse) = forward(q, k, v, kv_start, kv_end, with_lse=True)
+        return out, (q, k, v, kv_start, kv_end, out_h, lse)
 
     def fa_bwd(res, g):
-        q, k, v, kv_start, kv_end = res
-        _, vjp = jax.vjp(lambda q_, k_, v_: reference(q_, k_, v_, kv_start, kv_end), q, k, v)
-        dq, dk, dv = vjp(g)
+        q, k, v, kv_start, kv_end, out_h, lse = res
+        dq, dk, dv = bwd(q, k, v, kv_start, kv_end, out_h, lse, g)
         return dq, dk, dv, None, None
 
     fa.defvjp(fa_fwd, fa_bwd)
     return fa(q, k, v, kv_start, kv_end)
+
+
+def _no_lse_kernel(kernel, start_ref, end_ref, q_ref, k_ref, v_ref, out_ref, *scratch):
+    kernel(start_ref, end_ref, q_ref, k_ref, v_ref, out_ref, None, *scratch)
+
+
+def _flash_bwd_dq_kernel(
+    start_ref, end_ref,  # [B] int32 (scalar prefetch)
+    q_ref, k_ref, v_ref, do_ref,  # [1,1,bq,D] / [1,1,bkv,D] / [1,1,bkv,D] / [1,1,bq,D]
+    lse_ref, delta_ref,  # [1,1,bq,128] f32 (lane-broadcast)
+    dq_ref,  # out [1,1,bq,D]
+    acc_ref,  # scratch [bq,D] f32
+    *, scale: float, causal: bool,
+):
+    b = pl.program_id(0)
+    iq = pl.program_id(2)
+    j = pl.program_id(3)
+    num_kv = pl.num_programs(3)
+    bq, bkv = q_ref.shape[2], k_ref.shape[2]
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q_pos = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
+    kv_pos = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+    block_live = (j * bkv) <= (iq * bq + bq - 1) if causal else True
+
+    @pl.when(block_live)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32) * scale
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        valid = (kv_pos >= start_ref[b]) & (kv_pos < end_ref[b])
+        if causal:
+            valid = valid & (kv_pos <= q_pos)
+        s = jnp.where(valid, s, NEG_INF)
+        lse_row = lse_ref[0, 0, :, :1]  # [bq, 1]
+        p = jnp.exp(s - lse_row)  # [bq, bkv]; 0 on invalid entries
+        # dead rows (no valid kv): lse stays NEG_INF and f32 absorption makes
+        # exp(s - lse) = 1, not a probability — zero them out. Their true
+        # cotangents are always 0 (padding rows are loss-masked).
+        p = jnp.where(lse_row <= NEG_INF * 0.5, 0.0, p)
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[0, 0, :, :1])
+        acc_ref[:] += jax.lax.dot_general(
+            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == num_kv - 1)
+    def _():
+        dq_ref[0, 0] = (acc_ref[:] * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    start_ref, end_ref,  # [B] int32 (scalar prefetch)
+    q_ref, k_ref, v_ref, do_ref,  # [1,1,bq,D] / [1,1,bkv,D] ×2 / [1,1,bq,D]
+    lse_ref, delta_ref,  # [1,1,bq,128] f32 (lane-broadcast)
+    dk_ref, dv_ref,  # out [1,1,bkv,D]
+    dk_acc, dv_acc,  # scratch [bkv,D] f32
+    *, scale: float, causal: bool, num_iq: int, block_q: int,
+):
+    b = pl.program_id(0)
+    j = pl.program_id(2)
+    t = pl.program_id(3)  # combined (group, q-block) sweep
+    num_t = pl.num_programs(3)
+    iq = t % num_iq
+    bq, bkv = q_ref.shape[2], k_ref.shape[2]
+
+    @pl.when(t == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q_pos = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
+    kv_pos = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+    block_live = (j * bkv) <= (iq * bq + bq - 1) if causal else True
+
+    @pl.when(block_live)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32) * scale
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        valid = (kv_pos >= start_ref[b]) & (kv_pos < end_ref[b])
+        if causal:
+            valid = valid & (kv_pos <= q_pos)
+        s = jnp.where(valid, s, NEG_INF)
+        lse_row = lse_ref[0, 0, :, :1]
+        p = jnp.exp(s - lse_row)  # [bq, bkv]
+        p = jnp.where(lse_row <= NEG_INF * 0.5, 0.0, p)  # dead rows (see dq kernel)
+        dv_acc[:] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # p^T @ do → [bkv, D]
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[0, 0, :, :1])
+        dk_acc[:] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # ds^T @ (q·scale) → [bkv, D]
+
+    @pl.when(t == num_t - 1)
+    def _():
+        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_backward(
+    q, k, v, kv_start, kv_end, out_h, lse, g,
+    *, scale, causal, group, S, T, block_q, block_kv, interpret,
+):
+    """Real Pallas backward: dq via a kv-sweep per q-block, dk/dv via a
+    (group × q-block)-sweep per kv-block — probabilities recomputed blockwise
+    from the saved logsumexp, so memory stays linear in sequence length
+    (replaces the r1 XLA-recompute VJP that materialized [S, T] attention)."""
+    B, _, NH, D = q.shape
+    NKV = k.shape[2]
+
+    qh = _pad_to(q.transpose(0, 2, 1, 3), 2, block_q)  # [B, NH, Sp, D]
+    kh = _pad_to(k.transpose(0, 2, 1, 3), 2, block_kv)  # [B, NKV, Tp, D]
+    vh = _pad_to(v.transpose(0, 2, 1, 3), 2, block_kv)
+    doh = _pad_to(g.transpose(0, 2, 1, 3), 2, block_q)  # [B, NH, Sp, D]
+    Sp, Tp = qh.shape[2], kh.shape[2]
+    kv_end = jnp.minimum(kv_end.astype(jnp.int32), T)
+    # delta_i = rowsum(dO ⊙ O), on the padded head-major layout (padded rows
+    # 0); lane-broadcast to [B, NH, Sp, 128] like lse (Mosaic tiling rule)
+    delta = jnp.sum(doh.astype(jnp.float32) * out_h.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta[..., None], delta.shape + (128,))
+
+    num_iq, num_jkv = Sp // block_q, Tp // block_kv
+
+    dq_kernel = functools.partial(_flash_bwd_dq_kernel, scale=scale, causal=causal)
+    dqh = pl.pallas_call(
+        dq_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, NH, num_iq, num_jkv),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_kv, D), lambda b, h, i, j, *_: (b, h // group, j, 0)),
+                pl.BlockSpec((1, 1, block_kv, D), lambda b, h, i, j, *_: (b, h // group, j, 0)),
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_q, 128), lambda b, h, i, j, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_q, 128), lambda b, h, i, j, *_: (b, h, i, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
+            scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, NH, Sp, D), q.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * NH * S * T * D,
+            bytes_accessed=(2 * B * NH * S * D + 2 * B * NKV * T * D) * 2,
+            transcendentals=B * NH * S * T,
+        ),
+    )(kv_start.astype(jnp.int32), kv_end, qh, kh, vh, doh, lse, delta)
+    dq = dqh[:, :, :S].transpose(0, 2, 1, 3)
+
+    # dk/dv: one program per (b, kv-head, kv-block); innermost sweeps the
+    # group's q-heads × q-blocks, accumulating into VMEM scratch.
+    def h_of(t):
+        return t // num_iq
+
+    dkv_kernel = functools.partial(
+        _flash_bwd_dkv_kernel, scale=scale, causal=causal, num_iq=num_iq, block_q=block_q
+    )
+    dkh, dvh = pl.pallas_call(
+        dkv_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, NKV, num_jkv, group * num_iq),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, block_q, D),
+                    lambda b, hk, j, t, *_: (b, hk * group + h_of(t), t % num_iq, 0),
+                ),
+                pl.BlockSpec((1, 1, block_kv, D), lambda b, hk, j, t, *_: (b, hk, j, 0)),
+                pl.BlockSpec((1, 1, block_kv, D), lambda b, hk, j, t, *_: (b, hk, j, 0)),
+                pl.BlockSpec(
+                    (1, 1, block_q, D),
+                    lambda b, hk, j, t, *_: (b, hk * group + h_of(t), t % num_iq, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_q, 128),
+                    lambda b, hk, j, t, *_: (b, hk * group + h_of(t), t % num_iq, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_q, 128),
+                    lambda b, hk, j, t, *_: (b, hk * group + h_of(t), t % num_iq, 0),
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_kv, D), lambda b, hk, j, t, *_: (b, hk, j, 0)),
+                pl.BlockSpec((1, 1, block_kv, D), lambda b, hk, j, t, *_: (b, hk, j, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_kv, D), jnp.float32),
+                pltpu.VMEM((block_kv, D), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, NKV, Tp, D), k.dtype),
+            jax.ShapeDtypeStruct((B, NKV, Tp, D), v.dtype),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * B * NH * S * T * D,
+            bytes_accessed=(2 * B * NH * S * D + 4 * B * NKV * T * D) * 2,
+            transcendentals=B * NH * S * T,
+        ),
+    )(kv_start.astype(jnp.int32), kv_end, qh, kh, vh, doh, lse, delta)
+    dk = dkh[:, :, :T].transpose(0, 2, 1, 3)
+    dv = dvh[:, :, :T].transpose(0, 2, 1, 3)
+    return dq, dk, dv

@@ -27,6 +27,9 @@ def _spec_for(path: Tuple[str, ...], ndim: int) -> P:
     # quantized weights: {"w8": [.., K, N], "scale": [.., 1, N]} shard by the
     # parent projection's rule (scale rows are size-1 → only N shards)
     if name in ("w8", "scale") and len(path) >= 2:
+        if path[-2] == "embed":
+            # quantized embedding: w8 [V, H], scale per-row [V, 1]
+            return P("fsdp", "tp") if name == "w8" else P("fsdp", None)
         parent = _spec_for(path[:-1] + (path[-2],), ndim)
         if name == "scale" and ndim >= 2:
             # [.., 1, N]: never shard the singleton row dim
