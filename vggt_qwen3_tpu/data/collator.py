@@ -37,11 +37,15 @@ class MultiViewCollator:
         geom_tokens: int = 8,
         view_dropout: float = 0.0,
         seed: int = 0,
+        pad_to: Optional[int] = None,
     ) -> None:
         self.image_size = image_size
         self.tokenizer = tokenizer
         self.max_length = max_length
         self.min_text_length = num_vis_tokens + geom_tokens + 64
+        # fixed padded length (multi-host: every host must produce the same
+        # global-batch shape; also avoids per-batch recompiles on TPU)
+        self.pad_to = pad_to
         # view dropout (reference declares data.view_dropout but never applies
         # it — SURVEY.md §5.6): each non-first view is replaced by a kept view
         # with prob p at collate time, keeping batch shapes static.
@@ -53,16 +57,23 @@ class MultiViewCollator:
         return list(enc["input_ids"])
 
     def __call__(
-        self, batch: List[Dict], batch_index: int = 0
+        self,
+        batch: List[Dict],
+        batch_index: int = 0,
+        row_indices: Optional[List[int]] = None,
     ) -> Dict[str, Optional[np.ndarray]]:
-        # view-dropout randomness is a pure function of (seed, batch_index) so
-        # a resumed run reproduces the exact batch stream without replaying
-        # collation (VERDICT r1 item 10)
+        # view-dropout randomness is a pure function of (seed, batch_index,
+        # absolute row) so (a) a resumed run reproduces the exact batch stream
+        # without replaying collation (VERDICT r1 item 10) and (b) a host
+        # collating only its shard of a global batch (``row_indices``) draws
+        # exactly what the full-batch collation would.
         import random as _random
 
-        rng = _random.Random((self.seed << 24) ^ batch_index)
+        if row_indices is None:
+            row_indices = list(range(len(batch)))
         pixel, ids_list, labels_list, geoms = [], [], [], []
-        for sample in batch:
+        for sample, row in zip(batch, row_indices):
+            rng = _random.Random(((self.seed << 24) ^ batch_index) * 1_000_003 + row)
             images = list(sample["images"])
             if self.view_dropout > 0.0 and len(images) > 1:
                 kept = [images[0]] + [
@@ -88,7 +99,10 @@ class MultiViewCollator:
             geoms.append(sample.get("geom_token"))
 
         pad_id = self.tokenizer.pad_token_id
-        max_len = max(max(len(i) for i in ids_list), self.min_text_length)
+        if self.pad_to is not None:
+            max_len = self.pad_to
+        else:
+            max_len = max(max(len(i) for i in ids_list), self.min_text_length)
         input_ids = np.full((len(batch), max_len), pad_id, np.int32)
         labels = np.full((len(batch), max_len), -100, np.int32)
         for b, (ids, labs) in enumerate(zip(ids_list, labels_list)):
@@ -129,6 +143,8 @@ def data_loader(
     shuffle: bool = True,
     seed: int = 42,
     start_batches: int = 0,
+    shard_rank: int = 0,
+    shard_count: int = 1,
 ):
     """Minimal epoch-cycling loader (the reference uses torch DataLoader with
     shuffle — train_sft.py:58-63); yields collated numpy batches forever.
@@ -139,10 +155,21 @@ def data_loader(
     ``start_batches`` fast-forwards the stream: batch ``start_batches`` of a
     resumed run is bit-identical to that batch of an uninterrupted run — the
     index stream advances in pure python (no dataset/collation cost) and the
-    collator's randomness keys off the absolute batch index.
+    collator's randomness keys off the absolute (batch, row) index.
+
+    ``shard_rank``/``shard_count`` (multi-host): every host walks the SAME
+    global index stream, but host r materializes only its contiguous block of
+    rows ``[r·B/count, (r+1)·B/count)`` of each global batch (``batch_size``
+    stays the GLOBAL batch size; the block layout matches how
+    ``jax.make_array_from_process_local_data`` places process-local rows).
+    Skipped rows advance the dataset's stateful sampling rng via
+    ``consume_rng``, so the global sample sequence is identical to the
+    single-host run.
     """
     import random as _random
 
+    if batch_size % shard_count != 0:
+        raise ValueError(f"global batch {batch_size} not divisible by {shard_count} hosts")
     rng = _random.Random(seed)
     n = len(dataset)
     if n == 0:
@@ -164,5 +191,17 @@ def data_loader(
     batch_index = start_batches
     while True:
         idxs = [next(stream) for _ in range(batch_size)]
-        yield collator([dataset[i] for i in idxs], batch_index=batch_index)
+        if shard_count == 1:
+            yield collator([dataset[i] for i in idxs], batch_index=batch_index)
+        else:
+            local = batch_size // shard_count
+            lo, hi = shard_rank * local, (shard_rank + 1) * local
+            samples, rows = [], []
+            for row, idx in enumerate(idxs):
+                if lo <= row < hi:
+                    samples.append(dataset[idx])
+                    rows.append(row)
+                elif consume is not None:
+                    consume(idx)
+            yield collator(samples, batch_index=batch_index, row_indices=rows)
         batch_index += 1

@@ -140,8 +140,8 @@ def flash_attention(
     kv_start: Optional[jnp.ndarray] = None,
     kv_end: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
-    block_q: int = 256,
-    block_kv: int = 512,
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Flash attention. Layouts match :func:`ops.attention.mha`:
@@ -165,8 +165,22 @@ def flash_attention(
     if kv_end is None:
         kv_end = jnp.full((B,), T, jnp.int32)
 
-    block_q = min(block_q, max(S, 8))
-    block_kv = min(block_kv, T)
+    # Auto block sizes: at short/mid sequences one full (pad-to-128) block per
+    # axis wins — grid overhead dominates the tiny per-program work at the
+    # vision shapes ([~1k tokens, D=64]: 0.69 ms vs 1.39 ms measured on chip
+    # for 256/512 blocks); long sequences sweep 512×1024 tiles.
+    def _auto(n: int, cap: int) -> int:
+        full = -(-n // 128) * 128
+        return full if full <= 2048 else cap
+
+    if block_q is None:
+        block_q = _auto(S, 512)
+    if block_kv is None:
+        block_kv = _auto(T, 1024)
+    # never exceed the (8-aligned) sequence itself; keeps tiny explicit test
+    # blocks intact and avoids over-padding when S is just above a multiple
+    block_q = max(8, min(block_q, -(-S // 8) * 8))
+    block_kv = max(8, min(block_kv, -(-T // 8) * 8))
 
     def forward(q, k, v, kv_start, kv_end, *, with_lse: bool):
         # head-major layout for per-(b, h) programs

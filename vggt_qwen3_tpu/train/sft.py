@@ -60,6 +60,14 @@ def parse_args() -> argparse.Namespace:
         help="stop early WITHOUT changing the lr-schedule horizon "
              "(unlike --max_steps); resume continues to max_steps",
     )
+    p.add_argument(
+        "--multihost", action="store_true",
+        help="join a multi-process run via jax.distributed.initialize(); "
+             "on TPU pods no further flags are needed",
+    )
+    p.add_argument("--coordinator_address", default=None, help="host:port (non-TPU)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p.parse_args()
 
 
@@ -140,7 +148,13 @@ def build_data(stage, args, tokenizer, start_batches: int = 0):
             )
         )
     multi = MultiSourceDataset(datasets, stage.data.mix_ratio)
-    # tokenizer vocab guard: tiny text models can't host huge byte ids
+    n_proc = jax.process_count()
+    # multi-host: every host must produce the same padded shapes
+    pad_to = (
+        max(stage.data.max_length,
+            stage.model.num_vis_tokens + stage.model.geom_tokens + 64)
+        if n_proc > 1 else None
+    )
     collator = MultiViewCollator(
         stage.data.image_size,
         tokenizer,
@@ -149,16 +163,22 @@ def build_data(stage, args, tokenizer, start_batches: int = 0):
         geom_tokens=stage.model.geom_tokens,
         view_dropout=stage.data.view_dropout,
         seed=stage.train.seed,
+        pad_to=pad_to,
     )
     global_batch = stage.train.batch_size_per_device * stage.mesh.dp * stage.mesh.fsdp
     return data_loader(
         multi, collator, global_batch, shuffle=True, seed=stage.train.seed,
         start_batches=start_batches,
+        shard_rank=jax.process_index(), shard_count=n_proc,
     )
 
 
 def main() -> None:
     args = parse_args()
+    if args.multihost:
+        from ..parallel.multihost import initialize
+
+        initialize(args.coordinator_address, args.num_processes, args.process_id)
     stage = build_stage(args)
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -195,8 +215,18 @@ def main() -> None:
     loader = build_data(stage, args, tokenizer, start_batches=start_step)
 
     tx = trainer.make_tx(stage, state_shape.params)
-    logger = MetricLogger(out_dir)
+    is_main = jax.process_index() == 0
+    logger = MetricLogger(out_dir) if is_main else None
     bsh = batch_sharding(mesh)
+
+    n_proc = jax.process_count()
+
+    def to_device(tree):
+        if n_proc > 1:
+            from ..parallel.multihost import global_batch_from_local
+
+            return global_batch_from_local(tree, bsh)
+        return jax.tree.map(lambda v: jax.device_put(jnp.asarray(v), bsh), tree)
     base_sched = trainer.cosine_schedule(stage.train.lr, stage.train)
     proj_sched = trainer.cosine_schedule(stage.train.proj_lr or stage.train.lr, stage.train)
 
@@ -222,21 +252,17 @@ def main() -> None:
             step_fns[has_geom] = trainer.make_train_step(
                 stage, tx, image_token_id, has_geom=has_geom, state_sharding=shardings
             )
-        device_batch = {
-            k: jax.device_put(jnp.asarray(v), bsh)
-            for k, v in batch.items()
-            if k != "geom_token" and v is not None
-        }
+        device_batch = to_device(
+            {k: v for k, v in batch.items() if k != "geom_token" and v is not None}
+        )
         if has_geom:
-            device_batch["geom_token"] = {
-                k: jax.device_put(jnp.asarray(v), bsh)
-                for k, v in batch["geom_token"].items()
-                if k != "mask"
-            }
+            device_batch["geom_token"] = to_device(
+                {k: v for k, v in batch["geom_token"].items() if k != "mask"}
+            )
         step_rng = jax.random.fold_in(train_rng_base, step)
         state, metrics = step_fns[has_geom](state, device_batch, step_rng)
 
-        if step % stage.train.log_every_steps == 0:
+        if step % stage.train.log_every_steps == 0 and logger is not None:
             loss = float(metrics["loss"])
             logger.console(step, max_steps, loss, float(base_sched(step)), float(proj_sched(step)))
             logger.log(
@@ -257,7 +283,8 @@ def main() -> None:
     final_dir = out_dir / f"step_{step}"
     if not final_dir.exists():  # a periodic save may have landed on this step
         ckpt.save(state, final_dir)
-    logger.close()
+    if logger is not None:
+        logger.close()
     print(f"done at step {step}; final checkpoint → {final_dir}", flush=True)
 
 
