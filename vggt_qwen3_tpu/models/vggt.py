@@ -116,8 +116,12 @@ def init_params(rng: jax.Array, cfg: VGGTConfig, dtype: Optional[str] = None) ->
 # ---------------------------------------------------------------------------
 
 
-def _vit_block(x, bp, num_heads, eps, *, cos=None, sin=None, rot_mask=None):
-    """Pre-LN ViT block with LayerScale; optional 2D rope on q/k."""
+def _vit_block(x, bp, num_heads, eps, *, cos=None, sin=None, rot_mask=None, attend_fn=None):
+    """Pre-LN ViT block with LayerScale; optional 2D rope on q/k.
+
+    ``attend_fn`` overrides the attention primitive (default: flash/XLA via
+    :func:`ops.attention.attend`) — the ring-attention hook for sequence-
+    sharded >16-view global attention."""
     B, T, E = x.shape
     hd = E // num_heads
     h = layer_norm(x, bp["ln1_w"], bp["ln1_b"], eps)
@@ -130,7 +134,7 @@ def _vit_block(x, bp, num_heads, eps, *, cos=None, sin=None, rot_mask=None):
         q = apply_rope2d(q, cos, sin, rot_mask)
         k = apply_rope2d(k, cos, sin, rot_mask)
     # dense non-causal attention → flash on TPU (frame & global blocks)
-    attn = attend(q, k, v).reshape(B, T, E)
+    attn = (attend_fn or attend)(q, k, v).reshape(B, T, E)
     attn = attn @ bp["proj_w"] + bp["proj_b"]
     x = x + bp["ls1"] * attn
     h = layer_norm(x, bp["ln2_w"], bp["ln2_b"], eps)
@@ -190,6 +194,8 @@ def aggregator(
     images: jnp.ndarray,
     *,
     return_all_layers: bool = False,
+    ring_mesh=None,
+    ring_axis: Optional[str] = None,
 ) -> Tuple[List[jnp.ndarray], int]:
     """VGGT aggregator forward.
 
@@ -199,6 +205,10 @@ def aggregator(
             downstream heads want intermediate layers; the VLM uses only the
             last — ``vggt_qwen3_vlm.py:148``). Default keeps just the last to
             bound memory; the returned list's ``[-1]`` contract is identical.
+        ring_mesh/ring_axis: when set, global (cross-view) attention runs as
+            ring attention with the S·T sequence sharded over that mesh axis
+            (ops/ring_attention.py; SURVEY §5.7 >16-view scale-out). S·T must
+            divide the axis size.
     Returns:
         (aggregated_tokens_list — each [B, S, T, 2·E] with T = patch_start_idx
          + num_patches — , patch_start_idx)
@@ -250,13 +260,21 @@ def aggregator(
 
     eps = cfg.layer_norm_eps
 
+    global_attend = None
+    if ring_mesh is not None and ring_axis is not None:
+        from ..ops.ring_attention import ring_attention_sharded
+
+        def global_attend(q, k, v):
+            return ring_attention_sharded(q, k, v, ring_mesh, axis_name=ring_axis)
+
     @jax.checkpoint
     def pair(x, bps):
         fbp, gbp = bps
         x = _vit_block(x, fbp, cfg.num_heads, eps, cos=cos_frame, sin=sin_frame, rot_mask=mask_frame)
         frame_out = x
         xg = x.reshape(B, S * T, E)
-        xg = _vit_block(xg, gbp, cfg.num_heads, eps, cos=cos_global, sin=sin_global, rot_mask=mask_global)
+        xg = _vit_block(xg, gbp, cfg.num_heads, eps, cos=cos_global, sin=sin_global,
+                        rot_mask=mask_global, attend_fn=global_attend)
         x = xg.reshape(B * S, T, E)
         concat = jnp.concatenate([frame_out, x], axis=-1)  # [B*S, T, 2E]
         return x, concat

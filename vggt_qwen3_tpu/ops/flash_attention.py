@@ -127,22 +127,11 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
     return jnp.pad(x, widths)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("causal", "block_q", "block_kv", "interpret"),
-)
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    *,
-    causal: bool = False,
-    kv_start: Optional[jnp.ndarray] = None,
-    kv_end: Optional[jnp.ndarray] = None,
-    scale: Optional[float] = None,
-    block_q: Optional[int] = None,
-    block_kv: Optional[int] = None,
-    interpret: bool = False,
+    **kw,
 ) -> jnp.ndarray:
     """Flash attention. Layouts match :func:`ops.attention.mha`:
 
@@ -155,6 +144,35 @@ def flash_attention(
     Returns:
         [B, S, NH, D] in q.dtype.
     """
+    return _flash_attention_impl(q, k, v, return_lse=False, **kw)
+
+
+def flash_attention_with_lse(q, k, v, **kw):
+    """Like :func:`flash_attention` but also returns the per-row logsumexp
+    ([B, NH, S] f32; dead rows hold ``NEG_INF``) — the combining statistic
+    for chunked/ring attention. Fully differentiable: the lse cotangent
+    folds into the backward's delta term."""
+    return _flash_attention_impl(q, k, v, return_lse=True, **kw)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "scale", "block_q", "block_kv", "interpret", "return_lse"),
+)
+def _flash_attention_impl(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = False,
+    kv_start: Optional[jnp.ndarray] = None,
+    kv_end: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
+    interpret: bool = False,
+    return_lse: bool = False,
+):
     B, S, NH, D = q.shape
     _, T, NKV, _ = k.shape
     group = NH // NKV
@@ -243,21 +261,41 @@ def flash_attention(
         block_q=block_q, block_kv=block_kv, interpret=interpret,
     )
 
+    if not return_lse:
+
+        @jax.custom_vjp
+        def fa(q, k, v, kv_start, kv_end):
+            return forward(q, k, v, kv_start, kv_end, with_lse=False)
+
+        def fa_fwd(q, k, v, kv_start, kv_end):
+            out, (out_h, lse) = forward(q, k, v, kv_start, kv_end, with_lse=True)
+            return out, (q, k, v, kv_start, kv_end, out_h, lse)
+
+        def fa_bwd(res, g):
+            q, k, v, kv_start, kv_end, out_h, lse = res
+            dq, dk, dv = bwd(q, k, v, kv_start, kv_end, out_h, lse, g)
+            return dq, dk, dv, None, None
+
+        fa.defvjp(fa_fwd, fa_bwd)
+        return fa(q, k, v, kv_start, kv_end)
+
     @jax.custom_vjp
-    def fa(q, k, v, kv_start, kv_end):
-        return forward(q, k, v, kv_start, kv_end, with_lse=False)
+    def fa2(q, k, v, kv_start, kv_end):
+        out, (_, lse) = forward(q, k, v, kv_start, kv_end, with_lse=True)
+        return out, lse[:, :, :S, 0]
 
-    def fa_fwd(q, k, v, kv_start, kv_end):
+    def fa2_fwd(q, k, v, kv_start, kv_end):
         out, (out_h, lse) = forward(q, k, v, kv_start, kv_end, with_lse=True)
-        return out, (q, k, v, kv_start, kv_end, out_h, lse)
+        return (out, lse[:, :, :S, 0]), (q, k, v, kv_start, kv_end, out_h, lse)
 
-    def fa_bwd(res, g):
+    def fa2_bwd(res, gs):
+        g, g_lse = gs
         q, k, v, kv_start, kv_end, out_h, lse = res
-        dq, dk, dv = bwd(q, k, v, kv_start, kv_end, out_h, lse, g)
+        dq, dk, dv = bwd(q, k, v, kv_start, kv_end, out_h, lse, g, g_lse=g_lse)
         return dq, dk, dv, None, None
 
-    fa.defvjp(fa_fwd, fa_bwd)
-    return fa(q, k, v, kv_start, kv_end)
+    fa2.defvjp(fa2_fwd, fa2_bwd)
+    return fa2(q, k, v, kv_start, kv_end)
 
 
 def _no_lse_kernel(kernel, start_ref, end_ref, q_ref, k_ref, v_ref, out_ref, *scratch):
@@ -381,7 +419,7 @@ def _flash_bwd_dkv_kernel(
 
 
 def _flash_backward(
-    q, k, v, kv_start, kv_end, out_h, lse, g,
+    q, k, v, kv_start, kv_end, out_h, lse, g, g_lse=None,
     *, scale, causal, group, S, T, block_q, block_kv, interpret,
 ):
     """Real Pallas backward: dq via a kv-sweep per q-block, dk/dv via a
@@ -400,6 +438,10 @@ def _flash_backward(
     # delta_i = rowsum(dO ⊙ O), on the padded head-major layout (padded rows
     # 0); lane-broadcast to [B, NH, Sp, 128] like lse (Mosaic tiling rule)
     delta = jnp.sum(doh.astype(jnp.float32) * out_h.astype(jnp.float32), axis=-1)
+    if g_lse is not None:
+        # lse cotangent: dL/ds_ij gains p_ij·g_lse_i — algebraically the same
+        # as shifting delta by −g_lse (dv is independent of lse)
+        delta = delta - _pad_to(g_lse.astype(jnp.float32), 2, block_q)
     delta = jnp.broadcast_to(delta[..., None], delta.shape + (128,))
 
     num_iq, num_jkv = Sp // block_q, Tp // block_kv
