@@ -79,6 +79,12 @@ def main() -> None:
     ap.add_argument("--data_root", default=None)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--mock_vision", action="store_true")
+    ap.add_argument(
+        "--compare_quant", action="store_true",
+        help="run each dataset twice — bf16 vs W8 weights + int8 KV — and "
+             "report the EM delta (quantization quality gate; VERDICT r1 "
+             "item 7, one-command job for weights day)",
+    )
     args = ap.parse_args()
 
     globs = dict(DEFAULT_GLOBS)
@@ -118,6 +124,31 @@ def main() -> None:
             f"{name}: {metrics['exact_match']}/{metrics['total']} exact "
             f"({metrics['accuracy']:.1f}%), partial_accuracy {metrics['partial_accuracy']:.1f}%"
         )
+        if args.compare_quant:
+            q_records = run_inference(
+                params, stage, tokenizer, samples,
+                max_new_tokens=args.max_new_tokens,
+                batch_size=args.batch_size,
+                output_path=out_dir / f"{name}_baseline_w8.jsonl",
+                verbose=False,
+                quantize=True,
+                kv_dtype="int8",
+            )
+            q_metrics = compute_metrics(q_records)
+            agree = sum(
+                r["prediction"] == q["prediction"]
+                for r, q in zip(records, q_records)
+            ) / max(len(records), 1)
+            summary[name]["quantized_w8_int8kv"] = q_metrics
+            summary[name]["em_delta_quantized"] = (
+                q_metrics["accuracy"] - metrics["accuracy"]
+            )
+            summary[name]["prediction_agreement"] = round(agree, 4)
+            print(
+                f"{name} [W8+int8kv]: {q_metrics['exact_match']}/{q_metrics['total']} "
+                f"exact (Δaccuracy {summary[name]['em_delta_quantized']:+.1f}pp, "
+                f"prediction agreement {agree:.0%})"
+            )
 
     (out_dir / "baseline_summary.json").write_text(json.dumps(summary, indent=2))
     print(f"summary → {out_dir / 'baseline_summary.json'}")

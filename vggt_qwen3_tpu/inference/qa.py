@@ -107,13 +107,21 @@ def run_inference(
     batch_size: int = 8,
     output_path: Optional[Path] = None,
     verbose: bool = True,
+    quantize: bool = False,
+    kv_dtype: Optional[str] = None,
 ) -> List[Dict]:
+    if quantize:  # W8 serving mode (weights + embedding/LM head)
+        from ..models import qwen3
+
+        params = dict(params)
+        params["text"] = qwen3.quantize_params(dict(params["text"]), donate=False)
     gen_cfg = GenerationConfig(
         max_new_tokens=max_new_tokens,
         eos_token_id=tokenizer.eos_token_id,
         pad_token_id=tokenizer.pad_token_id,
         repetition_penalty=1.1,
         penalize_prompt=False,  # HF inputs_embeds semantics (qa_inference path)
+        kv_dtype=kv_dtype,
     )
     if output_path is not None:
         output_path.parent.mkdir(parents=True, exist_ok=True)

@@ -338,7 +338,7 @@ def _maybe_lora(lp, key: str, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return y + delta * ad["s"][0]
 
 
-def quantize_params(params: Params, *, embed: bool = True) -> Params:
+def quantize_params(params: Params, *, embed: bool = True, donate: bool = True) -> Params:
     """bf16 params → W8 serving params: per-output-channel int8 for every
     layer projection, plus (by default) the token embedding / tied LM head
     as int8 rows with per-vocab scales — the bf16 head alone streams ~778 MB
@@ -347,10 +347,13 @@ def quantize_params(params: Params, *, embed: bool = True) -> Params:
     Each source matrix is **donated** to its quantization jit so the bf16
     buffer frees before the next one quantizes — without this, originals and
     int8 copies co-reside and a 4B model OOMs a 16GB chip mid-conversion.
+    Pass ``donate=False`` to keep the caller's bf16 tree valid (e.g. the
+    bf16-vs-quantized eval comparison).
     """
     from ..ops.quant import quantize_per_channel
 
-    quantize = jax.jit(quantize_per_channel, donate_argnums=0)
+    donate_args = (0,) if donate else ()
+    quantize = jax.jit(quantize_per_channel, donate_argnums=donate_args)
     layers = dict(params["layers"])
     for key in QUANTIZED_LAYER_KEYS:
         layers[key] = quantize(layers[key])
@@ -365,7 +368,7 @@ def quantize_params(params: Params, *, embed: bool = True) -> Params:
             w8 = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
             return {"w8": w8, "scale": s.astype(jnp.bfloat16)}
 
-        out["embed"] = jax.jit(quantize_rows, donate_argnums=0)(params["embed"])
+        out["embed"] = jax.jit(quantize_rows, donate_argnums=donate_args)(params["embed"])
         if "lm_head" in params:  # untied head: [H, V] → per-output-channel
             out["lm_head"] = quantize(params["lm_head"])
     return out
