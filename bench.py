@@ -27,7 +27,12 @@ import numpy as np
 def e2e_mode() -> None:
     """BENCH_MODE=e2e: single-view ScanQA-style query latency on one chip —
     448² image → VGGT-1B → Perceiver(128) → splice → prefill → 32-token greedy
-    decode (north-star <200 ms on v5e-8; single-chip numbers here)."""
+    decode (north-star <200 ms on v5e-8; single-chip numbers here).
+
+    BENCH_WQUANT selects the weight mode (default w8 — the current fastest;
+    w4 streams half the bytes but every W4 matmul formulation measured slower
+    on this toolchain so far — see BASELINE.md chip notes).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -45,7 +50,9 @@ def e2e_mode() -> None:
         num_vis_tokens=128, geom_tokens=0, dtype="bfloat16",
     )
     params = vlm.init_params(jax.random.PRNGKey(0), cfg, dtype="bfloat16")
-    params["text"] = qwen3.quantize_params(params["text"])
+    params["text"] = qwen3.quantize_params(
+        params["text"], mode=os.environ.get("BENCH_WQUANT", "w8")
+    )
     np.asarray(jax.tree.leaves(params)[0][0])
 
     img_id = cfg.text.vocab_size - 1

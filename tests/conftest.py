@@ -19,3 +19,16 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# data/toy/ is generated (gitignored); a fresh clone lacks it. Regenerate once
+# per session so fixture-driven tests are hermetic.
+import pathlib  # noqa: E402
+import subprocess  # noqa: E402
+import sys  # noqa: E402
+
+_REPO = pathlib.Path(__file__).resolve().parents[1]
+if not (_REPO / "data" / "toy" / "train.jsonl").exists():
+    subprocess.run(
+        [sys.executable, str(_REPO / "scripts" / "make_toy_dataset.py")],
+        check=True, cwd=_REPO,
+    )

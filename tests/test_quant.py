@@ -14,6 +14,8 @@ from vggt_qwen3_tpu.ops.quant import (
     linear,
     quantize_activations,
     quantize_per_channel,
+    quantize_per_group_w4,
+    w4a16_matmul,
     w8a8_matmul,
     w8a16_matmul,
 )
@@ -137,6 +139,99 @@ MID_CFG = Qwen3Config(
     num_kv_heads=8, head_dim=64, intermediate_size=2816, rope_theta=1e6,
     tie_word_embeddings=True, dtype="float32",
 )
+
+
+# ---------------------------------------------------------------------------
+# W4 (group-wise int4, packed nibbles) — the latency serving mode
+# ---------------------------------------------------------------------------
+
+
+def test_w4_roundtrip_error_bound():
+    rng = np.random.default_rng(11)
+    K, N, G = 512, 128, 128
+    w = jnp.asarray(rng.normal(size=(K, N)), jnp.float32)
+    d = quantize_per_group_w4(w)
+    assert d["w4p"].shape == (K // 2, N) and d["w4p"].dtype == jnp.int8
+    assert d["gscale"].shape == (K // G, N)
+    back = np.asarray(dequantize(d), np.float32)
+    # per-group error ≤ scale/2 (+ bf16 scale storage slack)
+    s = np.repeat(np.asarray(d["gscale"], np.float32), G, axis=0)
+    assert (np.abs(back - np.asarray(w)) <= s * 0.55).all()
+
+
+def test_w4_packing_sign_exactness():
+    """Every int4 value in [-7, 7] survives pack → unpack exactly."""
+    vals = np.arange(-7, 8, dtype=np.float32)
+    w = jnp.asarray(np.tile(vals[:, None], (34, 128))[:510], jnp.float32)  # [510, 128]
+    # scale rows so each group max is 7 → quantized grid == the values
+    d = quantize_per_group_w4(w * 1.0, group=255)
+    back = np.asarray(dequantize(d), np.float32)
+    np.testing.assert_allclose(back, np.asarray(w), atol=0.06)  # bf16 scale slack
+
+
+def test_w4_linear_and_pallas_parity():
+    from vggt_qwen3_tpu.ops import quant as quant_mod
+
+    rng = np.random.default_rng(12)
+    M, K, N = 16, 256, 256
+    x = jnp.asarray(rng.normal(size=(M, K)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(K, N)) * 0.05, jnp.float32)
+    d = quantize_per_group_w4(w)
+    ref = np.asarray(x.astype(jnp.float32) @ dequantize(d).astype(jnp.float32))
+    prev = quant_mod._W4_IMPL
+    try:
+        for impl in ("two_dot", "group_dot"):
+            quant_mod.set_w4_impl(impl)
+            out = np.asarray(linear(x, d), np.float32)
+            np.testing.assert_allclose(out, ref, atol=0.1, rtol=0.05, err_msg=impl)
+    finally:
+        quant_mod.set_w4_impl(prev)
+    pk = np.asarray(w4a16_matmul(x, d["w4p"], d["gscale"], block_n=128, interpret=True), np.float32)
+    np.testing.assert_allclose(pk, ref, atol=0.1, rtol=0.05)
+
+
+def test_w4_quantize_params_and_forward_close():
+    cfg = Qwen3Config(
+        vocab_size=256, hidden_size=128, num_layers=2, num_heads=4, num_kv_heads=2,
+        head_dim=32, intermediate_size=256, rope_theta=1e4, tie_word_embeddings=True,
+    )
+    params = qwen3.init_params(jax.random.PRNGKey(0), cfg, dtype="float32")
+    qp = qwen3.quantize_params(params, donate=False, mode="w4")
+    # stacked [L, K, N] projections quantize via vmap
+    assert qp["layers"]["gate"]["w4p"].shape == (2, 64, 256)
+    ids = jnp.asarray(np.random.default_rng(4).integers(0, 256, (2, 12)))
+    dense_logits, _ = qwen3.forward(params, cfg, input_ids=ids)
+    quant_logits, _ = qwen3.forward(qp, cfg, input_ids=ids)
+    d = np.asarray(dense_logits)
+    q = np.asarray(quant_logits)
+    assert np.abs(d - q).max() / np.abs(d).max() < 0.25  # int4: looser than W8
+
+
+def test_w4_logit_drift_mid_size():
+    """W4 layer weights (+ W8 embed/head) at realistic dims.
+
+    On *random-init* weights the expected W4:W8 drift ratio is ≈ the grid
+    ratio (127/14 ≈ 9×) — per-weight error is ~scale/2 on both grids and
+    accumulates linearly in relative terms. Gate: the measured ratio stays
+    within theory (no extra error source, e.g. a packing/sign bug, which
+    would show up as ≫9×) and absolute drift stays bounded. The EM-level
+    acceptance on real weights is ``evals/baseline.py --compare_quant
+    --quant_mode w4``; W4 is a latency mode pending that gate."""
+    params = qwen3.init_params(jax.random.PRNGKey(13), MID_CFG, dtype="float32")
+    q8 = qwen3.quantize_params(params, donate=False, mode="w8")
+    q4 = qwen3.quantize_params(params, donate=False, mode="w4")
+    ids = jnp.asarray(np.random.default_rng(14).integers(1, 4096, (2, 24)))
+    dense, _ = qwen3.forward(params, MID_CFG, input_ids=ids)
+    out8, _ = qwen3.forward(q8, MID_CFG, input_ids=ids)
+    out4, _ = qwen3.forward(q4, MID_CFG, input_ids=ids)
+    d = np.asarray(dense, np.float32)
+    scale = np.abs(d).max()
+    rel8 = np.abs(d - np.asarray(out8, np.float32)).max() / scale
+    rel4 = np.abs(d - np.asarray(out4, np.float32)).max() / scale
+    ratio = rel4 / max(rel8, 1e-9)
+    print(f"\nW4 mid-size: rel drift {rel4:.4f} (W8 {rel8:.4f}, ratio {ratio:.1f}x)")
+    assert rel4 < 0.8, rel4
+    assert ratio < 14.0, ratio  # theory ≈ 9×; ≫ that ⇒ packing/sign bug
 
 
 def test_w8_logit_drift_mid_size():

@@ -81,9 +81,14 @@ def main() -> None:
     ap.add_argument("--mock_vision", action="store_true")
     ap.add_argument(
         "--compare_quant", action="store_true",
-        help="run each dataset twice — bf16 vs W8 weights + int8 KV — and "
-             "report the EM delta (quantization quality gate; VERDICT r1 "
+        help="run each dataset twice — bf16 vs quantized weights + int8 KV — "
+             "and report the EM delta (quantization quality gate; VERDICT r1 "
              "item 7, one-command job for weights day)",
+    )
+    ap.add_argument(
+        "--quant_mode", choices=["w8", "w4"], default="w8",
+        help="which quantized serving mode --compare_quant measures "
+             "(w8 = near-lossless default, w4 = latency mode)",
     )
     args = ap.parse_args()
 
@@ -129,23 +134,24 @@ def main() -> None:
                 params, stage, tokenizer, samples,
                 max_new_tokens=args.max_new_tokens,
                 batch_size=args.batch_size,
-                output_path=out_dir / f"{name}_baseline_w8.jsonl",
+                output_path=out_dir / f"{name}_baseline_{args.quant_mode}.jsonl",
                 verbose=False,
                 quantize=True,
                 kv_dtype="int8",
+                quant_mode=args.quant_mode,
             )
             q_metrics = compute_metrics(q_records)
             agree = sum(
                 r["prediction"] == q["prediction"]
                 for r, q in zip(records, q_records)
             ) / max(len(records), 1)
-            summary[name]["quantized_w8_int8kv"] = q_metrics
+            summary[name][f"quantized_{args.quant_mode}_int8kv"] = q_metrics
             summary[name]["em_delta_quantized"] = (
                 q_metrics["accuracy"] - metrics["accuracy"]
             )
             summary[name]["prediction_agreement"] = round(agree, 4)
             print(
-                f"{name} [W8+int8kv]: {q_metrics['exact_match']}/{q_metrics['total']} "
+                f"{name} [{args.quant_mode.upper()}+int8kv]: {q_metrics['exact_match']}/{q_metrics['total']} "
                 f"exact (Δaccuracy {summary[name]['em_delta_quantized']:+.1f}pp, "
                 f"prediction agreement {agree:.0%})"
             )

@@ -10,8 +10,10 @@ compile time would otherwise dominate the 7k-sample eval.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,6 +46,24 @@ def stack_views(samples: List[Dict], image_size: int) -> jnp.ndarray:
     return jnp.stack(views, axis=0)
 
 
+@partial(jax.jit, static_argnames=("model_cfg", "gen_cfg", "image_token_id"))
+def _vision_splice_generate(
+    params, model_cfg, gen_cfg, image_token_id, images, ids, mask
+):
+    """The full query as ONE compiled program: VGGT → Perceiver → embed →
+    splice → prefill → scan decode. Fusing these (instead of dispatching
+    encode_images / embed / splice eagerly, as round 1 did) removes ~4 host
+    round-trips per batch — material on this backend's ~2.3 ms dispatch —
+    and lets XLA overlap the vision epilogue with prefill setup."""
+    vis = vlm.encode_images(params, model_cfg, images)
+    embeds = qwen3.embed_tokens(params["text"], ids)
+    embeds, mask2 = vlm.splice_expand(embeds, mask, ids, vis, image_token_id)
+    return generate(
+        params["text"], model_cfg.text, gen_cfg,
+        inputs_embeds=embeds, attention_mask=mask2,
+    )
+
+
 def generate_batch(
     params,
     stage: StageConfig,
@@ -71,12 +91,7 @@ def generate_batch(
     images = stack_views(samples, stage.data.image_size)
 
     image_token_id = tokenizer.convert_tokens_to_ids(IMAGE_TOKEN)
-    vis_tokens = vlm.encode_images(params, stage.model, images)
-    embeds = qwen3.embed_tokens(params["text"], ids)
-    embeds, mask2 = vlm.splice_expand(embeds, mask, ids, vis_tokens, image_token_id)
-
-    tokens, lengths = generate(
-        params["text"], stage.model.text, gen_cfg,
-        inputs_embeds=embeds, attention_mask=mask2,
+    tokens, lengths = _vision_splice_generate(
+        params, stage.model, gen_cfg, image_token_id, images, ids, mask
     )
     return np.asarray(tokens)[:n], np.asarray(lengths)[:n]

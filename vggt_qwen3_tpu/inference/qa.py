@@ -109,12 +109,15 @@ def run_inference(
     verbose: bool = True,
     quantize: bool = False,
     kv_dtype: Optional[str] = None,
+    quant_mode: str = "w8",
 ) -> List[Dict]:
-    if quantize:  # W8 serving mode (weights + embedding/LM head)
+    if quantize:  # quantized serving mode (weights + embedding/LM head)
         from ..models import qwen3
 
         params = dict(params)
-        params["text"] = qwen3.quantize_params(dict(params["text"]), donate=False)
+        params["text"] = qwen3.quantize_params(
+            dict(params["text"]), donate=False, mode=quant_mode
+        )
     gen_cfg = GenerationConfig(
         max_new_tokens=max_new_tokens,
         eos_token_id=tokenizer.eos_token_id,

@@ -162,11 +162,22 @@ def main() -> None:
     ap.add_argument("--prompt_bucket", type=int, default=64)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--mock_vision", action="store_true")
+    ap.add_argument(
+        "--quantize", choices=["none", "w8", "w4"], default="w8",
+        help="weight quantization for the text model at load: w8 = "
+             "near-lossless int8 (default), w4 = group-int4 latency mode, "
+             "none = bf16 (KV cache is int8 regardless; see GenerationConfig)",
+    )
     args = ap.parse_args()
 
     stage = build_stage(args)
     tokenizer = load_tokenizer(None if args.tiny else stage.tokenizer_path or stage.text_model_name)
     params = load_model(stage, args.checkpoint_dir)
+    if args.quantize != "none" and not args.tiny:
+        from ..models import qwen3
+
+        params = dict(params)
+        params["text"] = qwen3.quantize_params(dict(params["text"]), mode=args.quantize)
     service = QAService(
         stage, tokenizer, params,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,

@@ -338,11 +338,18 @@ def _maybe_lora(lp, key: str, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return y + delta * ad["s"][0]
 
 
-def quantize_params(params: Params, *, embed: bool = True, donate: bool = True) -> Params:
-    """bf16 params → W8 serving params: per-output-channel int8 for every
-    layer projection, plus (by default) the token embedding / tied LM head
-    as int8 rows with per-vocab scales — the bf16 head alone streams ~778 MB
-    per decode step on the 4B model (norms and QK-norms stay bf16).
+def quantize_params(
+    params: Params, *, embed: bool = True, donate: bool = True, mode: str = "w8"
+) -> Params:
+    """bf16 params → quantized serving params.
+
+    ``mode="w8"``: per-output-channel int8 for every layer projection (the
+    default — near-lossless). ``mode="w4"``: group-wise int4 (group 128 along
+    K, packed two-per-byte) for the layer projections — halves decode weight
+    traffic again; the latency mode for single-query serving (<200 ms e2e
+    north star). Either way the token embedding / tied LM head quantizes (by
+    default) to int8 rows with per-vocab scales — the bf16 head alone streams
+    ~778 MB per decode step on the 4B model (norms and QK-norms stay bf16).
 
     Each source matrix is **donated** to its quantization jit so the bf16
     buffer frees before the next one quantizes — without this, originals and
@@ -350,10 +357,20 @@ def quantize_params(params: Params, *, embed: bool = True, donate: bool = True) 
     Pass ``donate=False`` to keep the caller's bf16 tree valid (e.g. the
     bf16-vs-quantized eval comparison).
     """
-    from ..ops.quant import quantize_per_channel
+    from ..ops.quant import quantize_per_channel, quantize_per_group_w4
 
+    assert mode in ("w8", "w4"), mode
     donate_args = (0,) if donate else ()
-    quantize = jax.jit(quantize_per_channel, donate_argnums=donate_args)
+    if mode == "w4":
+        # layer mats are stacked [L, K, N]; lax.map runs the 2-D group
+        # quantizer one layer at a time so the fp32 working set peaks at a
+        # single matrix, not 36 of them (a vmap here OOMs a 16 GB chip)
+        quantize = jax.jit(
+            lambda w: jax.lax.map(quantize_per_group_w4, w),
+            donate_argnums=donate_args,
+        )
+    else:
+        quantize = jax.jit(quantize_per_channel, donate_argnums=donate_args)
     layers = dict(params["layers"])
     for key in QUANTIZED_LAYER_KEYS:
         layers[key] = quantize(layers[key])
