@@ -15,9 +15,6 @@ from vggt_qwen3_tpu.ops.quant import (
     quantize_activations,
     quantize_per_channel,
     quantize_per_group_w4,
-    w4a16_matmul,
-    w8a8_matmul,
-    w8a16_matmul,
 )
 
 
@@ -38,22 +35,12 @@ def test_quantize_stacked_layers():
     assert q["w8"].shape == (3, 32, 48) and q["scale"].shape == (3, 1, 48)
 
 
-@pytest.mark.parametrize("kernel", ["w8a16", "w8a8"])
-def test_pallas_kernels_interpret(kernel):
+def test_quantize_activations_roundtrip():
     rng = np.random.default_rng(2)
-    M, K, N = 16, 64, 256
-    x = jnp.asarray(rng.normal(size=(M, K)), jnp.bfloat16)
-    w = jnp.asarray(rng.normal(size=(K, N)), jnp.float32)
-    q = quantize_per_channel(w)
-    ref = np.asarray(x.astype(jnp.float32) @ dequantize(q).astype(jnp.float32))
-    if kernel == "w8a16":
-        out = w8a16_matmul(x, q["w8"], q["scale"], block_n=128, interpret=True)
-        np.testing.assert_allclose(np.asarray(out, np.float32), ref, atol=0.25, rtol=0.05)
-    else:
-        x8, xs = quantize_activations(x)
-        out = w8a8_matmul(x8, xs, q["w8"], q["scale"], block_n=128, interpret=True)
-        # extra activation-quant noise
-        np.testing.assert_allclose(np.asarray(out, np.float32), ref, atol=0.6, rtol=0.1)
+    x = jnp.asarray(rng.normal(size=(16, 64)), jnp.float32)
+    x8, xs = quantize_activations(x)
+    back = np.asarray(x8, np.float32) * np.asarray(xs, np.float32)
+    assert np.abs(back - np.asarray(x)).max() <= float(xs.max()) * 0.51
 
 
 def test_linear_dispatch_dense_and_quantized():
@@ -169,25 +156,15 @@ def test_w4_packing_sign_exactness():
     np.testing.assert_allclose(back, np.asarray(w), atol=0.06)  # bf16 scale slack
 
 
-def test_w4_linear_and_pallas_parity():
-    from vggt_qwen3_tpu.ops import quant as quant_mod
-
+def test_w4_linear_matches_dequant():
     rng = np.random.default_rng(12)
     M, K, N = 16, 256, 256
     x = jnp.asarray(rng.normal(size=(M, K)), jnp.bfloat16)
     w = jnp.asarray(rng.normal(size=(K, N)) * 0.05, jnp.float32)
     d = quantize_per_group_w4(w)
     ref = np.asarray(x.astype(jnp.float32) @ dequantize(d).astype(jnp.float32))
-    prev = quant_mod._W4_IMPL
-    try:
-        for impl in ("two_dot", "group_dot"):
-            quant_mod.set_w4_impl(impl)
-            out = np.asarray(linear(x, d), np.float32)
-            np.testing.assert_allclose(out, ref, atol=0.1, rtol=0.05, err_msg=impl)
-    finally:
-        quant_mod.set_w4_impl(prev)
-    pk = np.asarray(w4a16_matmul(x, d["w4p"], d["gscale"], block_n=128, interpret=True), np.float32)
-    np.testing.assert_allclose(pk, ref, atol=0.1, rtol=0.05)
+    out = np.asarray(linear(x, d), np.float32)
+    np.testing.assert_allclose(out, ref, atol=0.1, rtol=0.05)
 
 
 def test_w4_quantize_params_and_forward_close():

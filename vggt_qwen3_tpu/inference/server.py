@@ -165,7 +165,7 @@ def main() -> None:
     ap.add_argument(
         "--quantize", choices=["none", "w8", "w4"], default="w8",
         help="weight quantization for the text model at load: w8 = "
-             "near-lossless int8 (default), w4 = group-int4 latency mode, "
+             "near-lossless int8 (default), w4 = group-int4 storage mode, "
              "none = bf16 (KV cache is int8 regardless; see GenerationConfig)",
     )
     args = ap.parse_args()

@@ -345,9 +345,10 @@ def quantize_params(
 
     ``mode="w8"``: per-output-channel int8 for every layer projection (the
     default — near-lossless). ``mode="w4"``: group-wise int4 (group 128 along
-    K, packed two-per-byte) for the layer projections — halves decode weight
-    traffic again; the latency mode for single-query serving (<200 ms e2e
-    north star). Either way the token embedding / tied LM head quantizes (by
+    K, packed two-per-byte) for the layer projections — halves weight HBM
+    footprint; a storage mode today, not a latency win (every W4 matmul
+    formulation measured slower than fused W8 on this toolchain — BASELINE.md
+    "W4 investigation"). Either way the token embedding / tied LM head quantizes (by
     default) to int8 rows with per-vocab scales — the bf16 head alone streams
     ~778 MB per decode step on the 4B model (norms and QK-norms stay bf16).
 
