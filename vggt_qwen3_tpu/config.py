@@ -102,6 +102,11 @@ class VGGTConfig:
     patch_ls_init: float = 1e-5  # DINOv2 LayerScale init
     agg_ls_init: float = 0.01  # aggregator-block LayerScale init (public VGGT)
     rope_freq: float = 100.0  # 2D rope base for aggregator blocks
+    # DINOv2 interpolate_pos_encoding knobs (defaults = DINOv2 defaults):
+    # offset 0.1 → scale_factor-mode bicubic with sx = (w0 + 0.1) / M;
+    # torch-kernel parity (a = −0.75, no antialias) is implemented in
+    # models/vggt._torch_bicubic_resize. Set offset 0.0 for size-mode.
+    interpolate_offset: float = 0.1
     dtype: str = "bfloat16"
 
     @property

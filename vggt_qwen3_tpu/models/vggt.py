@@ -26,9 +26,13 @@ TPU-first: frame/global attention are plain batched flash-attention shapes
 slot straight in; blocks are stacked and scanned.
 
 Weight fidelity: the ``vggt_1B_commercial.pt`` checkpoint is not present in
-this environment; ``convert_torch_state_dict`` maps the public VGGT/DINOv2
-key names and is the oracle to re-validate key-by-key when weights arrive
-(SURVEY.md §7.3 item 1).
+this environment. ``convert_torch_state_dict`` maps the public VGGT/DINOv2
+key names, and the whole stack (converter + forward) is validated against a
+from-scratch torch oracle implementing the public semantics
+(``tests/test_vggt_oracle.py``) — qkv packing, LN order, LayerScale, croco
+rotate-half 2D rope with 1-based coords, DINOv2 pos-embed interpolation
+(torch-bicubic a=−0.75, scale-factor offset), first-frame token selection.
+Re-validate key-by-key when weights arrive (SURVEY.md §7.3 item 1).
 """
 
 from __future__ import annotations
@@ -143,6 +147,55 @@ def _vit_block(x, bp, num_heads, eps, *, cos=None, sin=None, rot_mask=None, atte
     return x + bp["ls2"] * h
 
 
+def _torch_bicubic_weights(n_in: int, n_out: int, scale: Optional[float]) -> "jnp.ndarray":
+    """Row-resize weight matrix [n_out, n_in] matching torch
+    ``F.interpolate(mode="bicubic", align_corners=False, antialias=False)``:
+    cubic-convolution kernel a = −0.75, half-pixel centers, edge-clamped
+    taps. ``scale`` given → scale_factor-mode source mapping (DINOv2 passes
+    ``(w0 + interpolate_offset) / M``); None → size mode."""
+    import numpy as np
+
+    a = -0.75
+
+    def kernel(t):
+        t = abs(t)
+        if t <= 1.0:
+            return (a + 2.0) * t**3 - (a + 3.0) * t**2 + 1.0
+        if t < 2.0:
+            return a * t**3 - 5.0 * a * t**2 + 8.0 * a * t - 4.0 * a
+        return 0.0
+
+    W = np.zeros((n_out, n_in), np.float64)
+    inv_scale = (n_in / n_out) if scale is None else (1.0 / scale)
+    for i in range(n_out):
+        src = (i + 0.5) * inv_scale - 0.5
+        base = int(np.floor(src))
+        t = src - base
+        for tap, off in enumerate((-1, 0, 1, 2)):
+            w = kernel(off - t)
+            j = min(max(base + off, 0), n_in - 1)
+            W[i, j] += w
+    return jnp.asarray(W, jnp.float32)
+
+
+def _torch_bicubic_resize(
+    grid: jnp.ndarray, hw: Tuple[int, int], offset: float
+) -> jnp.ndarray:
+    """[M1, M2, D] → [h, w, D] with torch-bicubic parity (two MXU matmuls —
+    jax.image.resize uses the Keys a=−0.5 kernel + antialias and does NOT
+    match torch, so the resize is explicit weight matrices instead)."""
+    M1, M2, D = grid.shape
+    h, w = hw
+    sy = (h + offset) / M1 if offset else None
+    sx = (w + offset) / M2 if offset else None
+    Wy = _torch_bicubic_weights(M1, h, sy)
+    Wx = _torch_bicubic_weights(M2, w, sx)
+    g = grid.astype(jnp.float32)
+    g = jnp.einsum("hm,mnd->hnd", Wy, g)
+    g = jnp.einsum("wn,hnd->hwd", Wx, g)
+    return g
+
+
 def _patch_backbone(params: Params, cfg: VGGTConfig, frames: jnp.ndarray) -> jnp.ndarray:
     """DINOv2-style backbone: frames [N, 3, H, W] → patch tokens [N, P², E]."""
     pp = params["patch"]
@@ -162,8 +215,8 @@ def _patch_backbone(params: Params, cfg: VGGTConfig, frames: jnp.ndarray) -> jnp
     n_side = cfg.img_size // P
     cls_pos, grid_pos = pos[:1], pos[1:]
     if (hp, wp) != (n_side, n_side):
-        grid = grid_pos.reshape(n_side, n_side, -1).astype(jnp.float32)
-        grid = jax.image.resize(grid, (hp, wp, grid.shape[-1]), method="cubic")
+        grid = grid_pos.reshape(n_side, n_side, -1)
+        grid = _torch_bicubic_resize(grid, (hp, wp), cfg.interpolate_offset)
         grid_pos = grid.reshape(hp * wp, -1).astype(pos.dtype)
     x = x + grid_pos[None]
 
@@ -237,11 +290,14 @@ def aggregator(
     tokens = jnp.concatenate([cam.astype(dt), reg.astype(dt), patches], axis=1)
     T = psi + Np
 
-    # 2D rope tables: patch tokens carry grid coords, specials are unrotated
+    # 2D rope tables: patch tokens carry 1-BASED grid coords (the public
+    # aggregator shifts the grid by +1 and gives specials position (0,0) —
+    # the shift changes special↔patch relative angles, so it must match);
+    # specials pass through unrotated (≡ rotation by angle 0)
     hp = H // cfg.patch_size
     wp = W // cfg.patch_size
-    ys = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0).reshape(-1)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1).reshape(-1)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0).reshape(-1) + 1
+    xs = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1).reshape(-1) + 1
     coords = jnp.stack([ys, xs], axis=-1)  # [Np, 2]
     coords = jnp.concatenate([jnp.zeros((psi, 2), jnp.int32), coords], axis=0)  # [T, 2]
     rot_mask_frame = jnp.concatenate([jnp.zeros((psi,), bool), jnp.ones((Np,), bool)])

@@ -1,12 +1,23 @@
-"""2D axial rotary embeddings for vision attention (VGGT-style).
+"""2D axial rotary embeddings for vision attention (VGGT/croco-style).
 
 VGGT's alternating-attention blocks rotate patch-token q/k with a 2D RoPE
-(frequency 100): the head dim is split in halves, one rotated by the patch-row
-coordinate and one by the patch-column coordinate. Camera/register tokens are
-not rotated. (Reference consumes VGGT through ``model.aggregator(images)`` —
+(frequency 100), following croco's ``RoPE2D``: the head dim is split in
+halves — the first rotated by the patch-row coordinate, the second by the
+patch-column coordinate — and WITHIN each half the rotation uses the
+NeoX/rotate-half pairing (dim j pairs with dim j + D/4), i.e.
+``u*cos + rotate_half(u)*sin`` with ``cos = cat(freqs, freqs)`` per axis.
+The pairing convention matters for real-checkpoint fidelity: weights trained
+under rotate-half pairing give wrong attention if evaluated with
+interleaved (GPT-J) pairing. Camera/register tokens carry position (0, 0)
+(rotation by angle 0 = identity); patch coordinates are 1-based — the public
+aggregator shifts the grid by +1 to reserve 0 for special tokens, and the
+shift changes special↔patch relative angles, so it must match.
+
+(Reference consumes VGGT through ``model.aggregator(images)`` —
 ``src/models/vggt_qwen3_vlm.py:144``; block internals follow the public VGGT
-architecture, to be validated against the ``vggt_1B_commercial.pt`` key map
-when weights are available — SURVEY.md §7.3 item 1.)
+architecture; validated against a from-scratch torch oracle in
+``tests/test_vggt_oracle.py`` and to be re-validated against
+``vggt_1B_commercial.pt`` when weights are available — SURVEY.md §7.3.)
 """
 
 from __future__ import annotations
@@ -25,12 +36,14 @@ def rope2d_cos_sin(
         coords: [..., T, 2] float/int (y, x) coordinates per token.
         head_dim: per-head dim; must be divisible by 4.
     Returns:
-        (cos, sin): [..., T, head_dim//2] tables for interleaved-pair rotation,
-        axial: first half from y, second half from x.
+        (cos, sin): [..., T, head_dim//2] tables — first quarter = y-axis
+        angles, second quarter = x-axis angles (croco inv-freq ladder:
+        ``1/freq^(2i/(D/2))`` per axis).
     """
     assert head_dim % 4 == 0, head_dim
     quarter = head_dim // 4
-    inv = 1.0 / (freq ** (jnp.arange(quarter, dtype=jnp.float32) / quarter))
+    # croco RoPE2D: per-axis dim D/2, inv_freq over arange(0, D/2, 2)/(D/2)
+    inv = 1.0 / (freq ** (jnp.arange(quarter, dtype=jnp.float32) * 2.0 / (2 * quarter)))
     y = coords[..., 0:1].astype(jnp.float32) * inv  # [..., T, quarter]
     x = coords[..., 1:2].astype(jnp.float32) * inv
     ang = jnp.concatenate([y, x], axis=-1)  # [..., T, head_dim//2]
@@ -40,21 +53,28 @@ def rope2d_cos_sin(
 def apply_rope2d(
     x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray, rot_mask: jnp.ndarray
 ) -> jnp.ndarray:
-    """Rotate interleaved pairs of ``x`` where ``rot_mask`` is True.
+    """croco-convention 2D rope: axial halves, rotate-half pairing per half.
 
     Args:
         x: [B, T, H, D].
-        cos/sin: [B, T, D//2] (broadcast over heads).
+        cos/sin: [B, T, D//2] (broadcast over heads) — y angles ∥ x angles.
         rot_mask: [B, T] bool — False rows (special tokens) pass through.
+            (The public code rotates specials by position (0,0); angle 0 is
+            the identity, so masking is numerically identical.)
     """
     dtype = x.dtype
     xf = x.astype(jnp.float32)
-    x1 = xf[..., 0::2]
-    x2 = xf[..., 1::2]
+    D = xf.shape[-1]
+    q = D // 4
     c = cos[:, :, None, :]
     s = sin[:, :, None, :]
-    r1 = x1 * c - x2 * s
-    r2 = x1 * s + x2 * c
-    rot = jnp.stack([r1, r2], axis=-1).reshape(xf.shape)
+    cy, cx = c[..., :q], c[..., q:]
+    sy, sx = s[..., :q], s[..., q:]
+    y1, y2 = xf[..., :q], xf[..., q : 2 * q]          # y half (rotate-half pair)
+    x1, x2 = xf[..., 2 * q : 3 * q], xf[..., 3 * q :]  # x half
+    rot = jnp.concatenate(
+        [y1 * cy - y2 * sy, y2 * cy + y1 * sy,
+         x1 * cx - x2 * sx, x2 * cx + x1 * sx], axis=-1
+    )
     out = jnp.where(rot_mask[:, :, None, None], rot, xf)
     return out.astype(dtype)
