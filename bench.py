@@ -171,7 +171,9 @@ def main() -> None:
 
     tiny = os.environ.get("BENCH_TINY") == "1"
     cfg = QWEN3_TINY if tiny else QWEN3_4B_INSTRUCT_2507
-    B = int(os.environ.get("BENCH_BATCH", "8" if tiny else "384"))
+    # 384 started OOMing HBM by ~47 MB (15.79/15.75G) mid-round-2; 368 keeps
+    # ~300 MB headroom at the same per-step efficiency.
+    B = int(os.environ.get("BENCH_BATCH", "8" if tiny else "368"))
     decode_steps = int(os.environ.get("BENCH_DECODE", "16" if tiny else "128"))
     prompt_len = int(os.environ.get("BENCH_PROMPT", "8" if tiny else "32"))
     target = 5000.0
@@ -234,5 +236,22 @@ def main() -> None:
     )
 
 
+def _main_with_retry() -> None:
+    """The tunneled compile helper occasionally 500s (transient); re-exec a
+    fresh process once rather than lose the round's headline metric."""
+    try:
+        main()
+    except Exception:
+        if os.environ.get("BENCH_RETRIED") == "1":
+            raise
+        import traceback
+
+        traceback.print_exc()
+        print("bench: transient failure — retrying in a fresh process", file=sys.stderr, flush=True)
+        os.environ["BENCH_RETRIED"] = "1"
+        time.sleep(15)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_retry()

@@ -28,7 +28,14 @@ import jax.numpy as jnp
 
 from ..config import Qwen3Config
 from ..ops import quant
-from ..ops.attention import attend, combine_masks, flash_eligible, make_causal_mask, mha
+from ..ops.attention import (
+    attend,
+    combine_masks,
+    flash_eligible,
+    make_causal_mask,
+    mha,
+    mha_quantized_kv,
+)
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope, rope_cos_sin
 
@@ -257,15 +264,21 @@ def forward_hidden(
                 )
             if use_flash:
                 attn = attend(q, k, v, causal=True, kv_start=kv_start, kv_end=kv_end)
+            elif quantized_kv:
+                # scales folded onto scores/probs so the int8 K/V enter their
+                # dots as PURE converts (XLA fuses those; a dequant-then-mha
+                # here materializes bf16 KV to HBM — ~3× slower decode step)
+                attn = mha_quantized_kv(
+                    q,
+                    jax.lax.dynamic_index_in_dim(c["k"], li, axis=0, keepdims=False),
+                    jax.lax.dynamic_index_in_dim(c["ks"], li, axis=0, keepdims=False),
+                    jax.lax.dynamic_index_in_dim(c["v"], li, axis=0, keepdims=False),
+                    jax.lax.dynamic_index_in_dim(c["vs"], li, axis=0, keepdims=False),
+                    mask=mask,
+                )
             else:
                 kc = jax.lax.dynamic_index_in_dim(c["k"], li, axis=0, keepdims=False)
                 vc = jax.lax.dynamic_index_in_dim(c["v"], li, axis=0, keepdims=False)
-                if quantized_kv:
-                    # dequant fused into the attention einsum operand by XLA
-                    ksl = jax.lax.dynamic_index_in_dim(c["ks"], li, axis=0, keepdims=False)
-                    vsl = jax.lax.dynamic_index_in_dim(c["vs"], li, axis=0, keepdims=False)
-                    kc = kc.astype(jnp.bfloat16) * ksl[..., None]
-                    vc = vc.astype(jnp.bfloat16) * vsl[..., None]
                 attn = mha(q, kc, vc, mask=mask)
             h = _layer_post_attn(cfg, h, lp, attn)
             return (h, c), None
