@@ -184,6 +184,34 @@ def test_w4_quantize_params_and_forward_close():
     assert np.abs(d - q).max() / np.abs(d).max() < 0.25  # int4: looser than W8
 
 
+def test_w8a8_logit_drift_mid_size():
+    """W8 weights + dynamic per-row int8 activations (the int8×int8 MXU
+    serving path, ``quantize_params(mode="w8a8")``): drift stays within ~3×
+    the W8A16 drift and confident-position argmax is preserved."""
+    params = qwen3.init_params(jax.random.PRNGKey(21), MID_CFG, dtype="float32")
+    qparams = qwen3.quantize_params(params, donate=False)
+    a8params = qwen3.quantize_params(params, donate=False, mode="w8a8")
+    ids = jnp.asarray(np.random.default_rng(22).integers(1, 4096, (2, 24)))
+    dense, _ = qwen3.forward(params, MID_CFG, input_ids=ids)
+    a16, _ = qwen3.forward(qparams, MID_CFG, input_ids=ids)
+    a8, _ = qwen3.forward(a8params, MID_CFG, input_ids=ids)
+    d = np.asarray(dense, np.float32)
+    scale = np.abs(d).max()
+    rel16 = np.abs(d - np.asarray(a16, np.float32)).max() / scale
+    rel8 = np.abs(d - np.asarray(a8, np.float32)).max() / scale
+    abs_err = np.abs(d - np.asarray(a8, np.float32)).max()
+    top2 = np.sort(d, axis=-1)[..., -2:]
+    confident = (top2[..., 1] - top2[..., 0]) > 2 * abs_err
+    agree_conf = (
+        (d.argmax(-1) == np.asarray(a8).argmax(-1))[confident].mean()
+        if confident.any() else 1.0
+    )
+    print(f"\nW8A8 mid-size: rel drift {rel8:.4f} (W8A16 {rel16:.4f}), "
+          f"confident agreement {agree_conf:.3f}")
+    assert rel8 < max(3.0 * rel16, 0.15), (rel8, rel16)
+    assert agree_conf == 1.0, agree_conf
+
+
 def test_w4_logit_drift_mid_size():
     """W4 layer weights (+ W8 embed/head) at realistic dims.
 

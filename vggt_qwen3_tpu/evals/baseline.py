@@ -86,9 +86,9 @@ def main() -> None:
              "item 7, one-command job for weights day)",
     )
     ap.add_argument(
-        "--quant_mode", choices=["w8", "w4"], default="w8",
+        "--quant_mode", choices=["w8", "w8a8", "w4"], default="w8",
         help="which quantized serving mode --compare_quant measures "
-             "(w8 = near-lossless default, w4 = latency mode)",
+             "(w8 = near-lossless default, w8a8 = throughput mode, w4 = storage mode)",
     )
     args = ap.parse_args()
 

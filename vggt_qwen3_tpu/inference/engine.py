@@ -84,6 +84,7 @@ def generate(
         params, cfg, inputs_embeds=inputs_embeds,
         attention_mask=mask, positions=positions, cache=cache, cache_offset=0,
         prefill_padding="left",  # engine prompts are left-padded → flash path
+        last_logit_only=True,  # full-seq fp32 logits are O(B·S·V) — see forward()
     )
     next_logits = logits[:, -1]
     next_pos = positions[:, -1] + 1

@@ -163,9 +163,10 @@ def main() -> None:
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--mock_vision", action="store_true")
     ap.add_argument(
-        "--quantize", choices=["none", "w8", "w4"], default="w8",
+        "--quantize", choices=["none", "w8", "w8a8", "w4"], default="w8",
         help="weight quantization for the text model at load: w8 = "
-             "near-lossless int8 (default), w4 = group-int4 storage mode, "
+             "near-lossless int8 (default), w8a8 = int8 activations too "
+             "(2x MXU throughput mode), w4 = group-int4 storage mode, "
              "none = bf16 (KV cache is int8 regardless; see GenerationConfig)",
     )
     args = ap.parse_args()

@@ -371,9 +371,9 @@ def quantize_params(
     Pass ``donate=False`` to keep the caller's bf16 tree valid (e.g. the
     bf16-vs-quantized eval comparison).
     """
-    from ..ops.quant import quantize_per_channel, quantize_per_group_w4
+    from ..ops.quant import mark_act_quant, quantize_per_channel, quantize_per_group_w4
 
-    assert mode in ("w8", "w4"), mode
+    assert mode in ("w8", "w8a8", "w4"), mode
     donate_args = (0,) if donate else ()
     if mode == "w4":
         # layer mats are stacked [L, K, N]; lax.map runs the 2-D group
@@ -388,6 +388,8 @@ def quantize_params(
     layers = dict(params["layers"])
     for key in QUANTIZED_LAYER_KEYS:
         layers[key] = quantize(layers[key])
+        if mode == "w8a8":  # int8×int8 MXU dots (embed/head stay W8A16)
+            layers[key] = mark_act_quant(layers[key])
     out = dict(params)
     out["layers"] = layers
     if embed:
@@ -444,8 +446,15 @@ def forward(
     cache: Optional[Dict[str, jnp.ndarray]] = None,
     cache_offset: int | jnp.ndarray = 0,
     prefill_padding: Optional[str] = None,
+    last_logit_only: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
-    """Full forward → (float32 logits [B, S, V], updated cache)."""
+    """Full forward → (float32 logits [B, S, V], updated cache).
+
+    ``last_logit_only``: compute the LM head on the final position only
+    (returns [B, 1, V]). Prefill needs exactly that, and relying on XLA to
+    slice-fuse away the rest is not safe — at B=368, S=128 the full-sequence
+    fp32 logits are a 28.6 GB allocation that fails compilation, and even
+    when it fits the head wastes ~S× the decode-head FLOPs."""
     if inputs_embeds is None:
         assert input_ids is not None
         inputs_embeds = embed_tokens(params, input_ids)
@@ -459,4 +468,6 @@ def forward(
         cache_offset=cache_offset,
         prefill_padding=prefill_padding,
     )
+    if last_logit_only:
+        hidden = hidden[:, -1:]
     return lm_logits(params, cfg, hidden), new_cache

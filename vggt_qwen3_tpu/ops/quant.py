@@ -126,16 +126,48 @@ def _w4_linear(x: jnp.ndarray, w) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def linear(x: jnp.ndarray, w) -> jnp.ndarray:
-    """``x @ w`` where ``w`` is a dense array or a quantized dict (W8 or W4).
+A8_MARKER = "a8"
 
-    The W8 path is a plain XLA matmul over ``int8 * scale`` — XLA fuses the
-    dequant into the operand read (measured at the int8 streaming floor).
+
+def mark_act_quant(w: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Tag a W8 dict so :func:`linear` runs it as int8×int8 (W8A8).
+
+    The marker is a zero-size leaf: presence changes the pytree structure, so
+    jit correctly retraces when switching serving modes (a global flag would
+    silently reuse the stale trace for equal-shaped params). It keeps the
+    stacked-layer leading dims (``[..., 0]``) so ``lax.scan`` over layers can
+    slice it like every other leaf."""
+    lead = w["w8"].shape[:-2]
+    return dict(w, **{A8_MARKER: jnp.zeros(lead + (0,), jnp.int8)})
+
+
+def linear(x: jnp.ndarray, w) -> jnp.ndarray:
+    """``x @ w`` where ``w`` is a dense array or a quantized dict.
+
+    - W8 (``{"w8", "scale"}``): plain XLA matmul over ``int8 * scale`` — XLA
+      fuses the dequant into the operand read (the int8 streaming floor);
+      MXU runs at bf16 rate.
+    - W8A8 (W8 dict + :func:`mark_act_quant` marker): activations quantize
+      per-row to int8 and the dot runs native int8×int8→int32 on the MXU —
+      2× the bf16 MXU rate; large-batch decode is ~half compute-bound, so
+      this is the throughput serving mode (measured 11,011 vs 7,512 tok/s at
+      B=368 — BASELINE.md).
+    - W4 (``{"w4p", "gscale"}``): storage mode, see module docstring.
     """
     if not isinstance(w, dict):
         return x @ w
     if "w4p" in w:
         return _w4_linear(x, w)
+    if A8_MARKER in w:
+        lead = x.shape[:-1]
+        x8, xs = quantize_activations(x.reshape(-1, x.shape[-1]))
+        y = jax.lax.dot_general(
+            x8, w["w8"],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * xs * w["scale"].astype(jnp.float32)
+        return y.astype(x.dtype).reshape(*lead, -1)
     return x @ (w["w8"].astype(x.dtype) * w["scale"].astype(x.dtype))
 
 
