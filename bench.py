@@ -113,7 +113,9 @@ def qa_mode() -> None:
         num_vis_tokens=128, geom_tokens=0, dtype="bfloat16",
     )
     params = vlm.init_params(jax.random.PRNGKey(0), cfg, dtype="bfloat16")
-    params["text"] = qwen3.quantize_params(params["text"])
+    params["text"] = qwen3.quantize_params(
+        params["text"], mode=os.environ.get("BENCH_WQUANT", "w8a8")
+    )
     np.asarray(jax.tree.leaves(params)[0][0])
 
     img_id = cfg.text.vocab_size - 1
