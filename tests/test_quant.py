@@ -212,6 +212,22 @@ def test_w8a8_logit_drift_mid_size():
     assert agree_conf == 1.0, agree_conf
 
 
+def test_w4_untied_lm_head_stays_w8():
+    """mode='w4' with an untied lm_head: the 2-D head must quantize
+    per-channel int8 (the stacked W4 quantizer would crash on it, and
+    lm_logits only speaks {"w8","scale"}) — code-review r2 finding 2."""
+    cfg = Qwen3Config(
+        vocab_size=256, hidden_size=128, num_layers=2, num_heads=4, num_kv_heads=2,
+        head_dim=32, intermediate_size=256, rope_theta=1e4, tie_word_embeddings=False,
+    )
+    params = qwen3.init_params(jax.random.PRNGKey(5), cfg, dtype="float32")
+    qp = qwen3.quantize_params(params, donate=False, mode="w4")
+    assert "w8" in qp["lm_head"] and "w4p" not in qp["lm_head"]
+    ids = jnp.asarray(np.random.default_rng(6).integers(0, 256, (1, 8)))
+    logits, _ = qwen3.forward(qp, cfg, input_ids=ids)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
 def test_w4_logit_drift_mid_size():
     """W4 layer weights (+ W8 embed/head) at realistic dims.
 

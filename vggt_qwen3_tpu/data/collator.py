@@ -26,6 +26,15 @@ from .tokenizer import IMAGE_TOKEN
 
 GEOM_KEYS = ("R", "t", "K", "depth_hist")
 
+# canonical geom_token schema (prepare_scanqa.py output; 9+3+9+16 = 37 dims)
+# — the zero template when emit_geom is forced but no row carries geom
+DEFAULT_GEOM_SCHEMA = {
+    "R": [0.0] * 9,
+    "t": [0.0] * 3,
+    "K": [0.0] * 9,
+    "depth_hist": [0.0] * 16,
+}
+
 
 class MultiViewCollator:
     def __init__(
@@ -38,6 +47,7 @@ class MultiViewCollator:
         view_dropout: float = 0.0,
         seed: int = 0,
         pad_to: Optional[int] = None,
+        emit_geom: Optional[bool] = None,
     ) -> None:
         self.image_size = image_size
         self.tokenizer = tokenizer
@@ -51,6 +61,12 @@ class MultiViewCollator:
         # with prob p at collate time, keeping batch shapes static.
         self.view_dropout = view_dropout
         self.seed = seed
+        # None → emit a geom batch iff any local row carries geom (legacy).
+        # True/False → FORCED, decided from global config, so every host and
+        # every batch runs the same compiled step (a per-shard decision lets
+        # hosts pick different XLA programs for one global step and deadlock
+        # in the collectives).
+        self.emit_geom = emit_geom
 
     def _encode(self, text: str) -> List[int]:
         enc = self.tokenizer(text, add_special_tokens=False)
@@ -111,8 +127,13 @@ class MultiViewCollator:
         attention_mask = (input_ids != pad_id).astype(np.int32)
 
         geom_batch = None
-        if any(g is not None for g in geoms):
-            template = next(g for g in geoms if g is not None)
+        emit_geom = self.emit_geom
+        if emit_geom is None:
+            emit_geom = any(g is not None for g in geoms)
+        if emit_geom:
+            template = next(
+                (g for g in geoms if g is not None), DEFAULT_GEOM_SCHEMA
+            )
             geom_batch = {}
             for key in template:
                 tmpl = np.asarray(template[key], np.float32)

@@ -98,8 +98,15 @@ class MultiViewJsonDataset:
     def __getitem__(self, idx: int) -> Dict:
         sample = self._record(idx)
         images = sample["images"][: self.config.num_views]
+        loaded = [self._load_image(img) for img in images]
+        # pad ragged view counts by repeating the last view so multi-source
+        # batches (e.g. 8-view scanqa + 1-view sqa3d under stage1's mix)
+        # stack to a static [num_views, ...] — without this the collator's
+        # np.stack dies on the first mixed batch
+        while loaded and len(loaded) < self.config.num_views:
+            loaded.append(loaded[-1])
         return {
-            "images": [self._load_image(img) for img in images],
+            "images": loaded,
             "geom_token": sample.get("geom_token"),
             "question": sample.get("question") or sample.get("instruction"),
             "answer": sample.get("answer") or sample.get("action_json"),

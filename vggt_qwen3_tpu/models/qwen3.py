@@ -403,7 +403,11 @@ def quantize_params(
 
         out["embed"] = jax.jit(quantize_rows, donate_argnums=donate_args)(params["embed"])
         if "lm_head" in params:  # untied head: [H, V] → per-output-channel
-            out["lm_head"] = quantize(params["lm_head"])
+            # ALWAYS per-channel int8 — the head stays W8A16 in every mode
+            # (lm_logits only speaks {"w8","scale"}, and the stacked-layer W4
+            # quantizer would crash on a 2-D matrix)
+            head_quant = jax.jit(quantize_per_channel, donate_argnums=donate_args)
+            out["lm_head"] = head_quant(params["lm_head"])
     return out
 
 

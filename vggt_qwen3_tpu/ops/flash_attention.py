@@ -195,6 +195,15 @@ def _flash_attention_impl(
         block_q = _auto(S, 512)
     if block_kv is None:
         block_kv = _auto(T, 1024)
+    # cap the [bq, bkv] fp32 score/prob tile: 1152² (~5.3 MB, the measured
+    # vision shape) is safe alongside q/k/v/acc tiles; independent 2048 caps
+    # would allow a 16 MB tile that blows the ~16 MB VMEM budget for
+    # sequences in the (1152, 2048] band
+    while block_q * block_kv > 1152 * 1152:
+        if block_q >= block_kv:
+            block_q = max(128, block_q // 2)
+        else:
+            block_kv = max(128, block_kv // 2)
     # never exceed the (8-aligned) sequence itself; keeps tiny explicit test
     # blocks intact and avoids over-padding when S is just above a multiple
     block_q = max(8, min(block_q, -(-S // 8) * 8))
@@ -268,11 +277,18 @@ def _flash_attention_impl(
             return forward(q, k, v, kv_start, kv_end, with_lse=False)
 
         def fa_fwd(q, k, v, kv_start, kv_end):
-            out, (out_h, lse) = forward(q, k, v, kv_start, kv_end, with_lse=True)
-            return out, (q, k, v, kv_start, kv_end, out_h, lse)
+            out, (_, lse) = forward(q, k, v, kv_start, kv_end, with_lse=True)
+            # residuals keep ONE lane of lse (the kernel writes it
+            # lane-broadcast to [.., 128] for Mosaic tiling, a 128× waste as
+            # a saved activation) and reconstruct the padded head-major out
+            # from the public output in the bwd — the live residual set stays
+            # ~[B,NH,S] + inputs, linear in sequence
+            return out, (q, k, v, kv_start, kv_end, out, lse[..., :1])
 
         def fa_bwd(res, g):
-            q, k, v, kv_start, kv_end, out_h, lse = res
+            q, k, v, kv_start, kv_end, out, lse1 = res
+            out_h = _pad_to(out.transpose(0, 2, 1, 3), 2, block_q)
+            lse = jnp.broadcast_to(lse1, lse1.shape[:-1] + (128,))
             dq, dk, dv = bwd(q, k, v, kv_start, kv_end, out_h, lse, g)
             return dq, dk, dv, None, None
 
@@ -285,12 +301,14 @@ def _flash_attention_impl(
         return out, lse[:, :, :S, 0]
 
     def fa2_fwd(q, k, v, kv_start, kv_end):
-        out, (out_h, lse) = forward(q, k, v, kv_start, kv_end, with_lse=True)
-        return (out, lse[:, :, :S, 0]), (q, k, v, kv_start, kv_end, out_h, lse)
+        out, (_, lse) = forward(q, k, v, kv_start, kv_end, with_lse=True)
+        return (out, lse[:, :, :S, 0]), (q, k, v, kv_start, kv_end, out, lse[..., :1])
 
     def fa2_bwd(res, gs):
         g, g_lse = gs
-        q, k, v, kv_start, kv_end, out_h, lse = res
+        q, k, v, kv_start, kv_end, out, lse1 = res
+        out_h = _pad_to(out.transpose(0, 2, 1, 3), 2, block_q)
+        lse = jnp.broadcast_to(lse1, lse1.shape[:-1] + (128,))
         dq, dk, dv = bwd(q, k, v, kv_start, kv_end, out_h, lse, g, g_lse=g_lse)
         return dq, dk, dv, None, None
 

@@ -149,11 +149,13 @@ def build_data(stage, args, tokenizer, start_batches: int = 0):
         )
     multi = MultiSourceDataset(datasets, stage.data.mix_ratio)
     n_proc = jax.process_count()
-    # multi-host: every host must produce the same padded shapes
-    pad_to = (
-        max(stage.data.max_length,
-            stage.model.num_vis_tokens + stage.model.geom_tokens + 64)
-        if n_proc > 1 else None
+    # Fixed padded text length ALWAYS: the jitted train step compiles once
+    # per shape, so a per-batch dynamic max_len scatters minutes-scale
+    # recompiles through a 30k-step run — and on multi-host every host must
+    # produce identical shapes regardless of its local rows.
+    pad_to = max(
+        stage.data.max_length,
+        stage.model.num_vis_tokens + stage.model.geom_tokens + 64,
     )
     collator = MultiViewCollator(
         stage.data.image_size,
@@ -164,6 +166,10 @@ def build_data(stage, args, tokenizer, start_batches: int = 0):
         view_dropout=stage.data.view_dropout,
         seed=stage.train.seed,
         pad_to=pad_to,
+        # static per-config decision (not per-batch/per-shard): geom tokens
+        # configured → every batch runs the geom step with zero-filled rows
+        # where absent, so one XLA program serves the whole run on every host
+        emit_geom=stage.model.geom_tokens > 0,
     )
     global_batch = stage.train.batch_size_per_device * stage.mesh.dp * stage.mesh.fsdp
     return data_loader(
