@@ -206,7 +206,7 @@ def main() -> None:
         pad_token_id=0,
         repetition_penalty=1.0,
         no_repeat_ngram=0,
-        kv_dtype=None if tiny else os.environ.get("BENCH_KV", "int8"),
+        kv_dtype=None if tiny else {"bf16": "bfloat16"}.get(os.environ.get("BENCH_KV", "int8"), os.environ.get("BENCH_KV", "int8")),
     )
     ids = jnp.asarray(np.random.default_rng(0).integers(1, cfg.vocab_size, (B, prompt_len)))
     embeds = qwen3.embed_tokens(params, ids)
