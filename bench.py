@@ -116,6 +116,9 @@ def qa_mode() -> None:
     params["text"] = qwen3.quantize_params(
         params["text"], mode=os.environ.get("BENCH_WQUANT", "w8a8")
     )
+    vq = os.environ.get("BENCH_VQUANT", "none")  # none|w8|w8a8 (frozen tower)
+    if vq != "none":
+        params = vlm.quantize_vision(params, mode=vq)
     np.asarray(jax.tree.leaves(params)[0][0])
 
     img_id = cfg.text.vocab_size - 1

@@ -163,6 +163,11 @@ def main() -> None:
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--mock_vision", action="store_true")
     ap.add_argument(
+        "--quantize_vision", choices=["none", "w8", "w8a8"], default="none",
+        help="frozen-VGGT-tower quantization (w8 = int8 weights, w8a8 = "
+             "+int8 activations; vision at batch is compute-bound)",
+    )
+    ap.add_argument(
         "--quantize", choices=["none", "w8", "w8a8", "w4"], default="w8",
         help="weight quantization for the text model at load: w8 = "
              "near-lossless int8 (default), w8a8 = int8 activations too "
@@ -179,6 +184,10 @@ def main() -> None:
 
         params = dict(params)
         params["text"] = qwen3.quantize_params(dict(params["text"]), mode=args.quantize)
+    if args.quantize_vision != "none" and not args.tiny:
+        from ..models import vlm as vlm_mod
+
+        params = vlm_mod.quantize_vision(params, mode=args.quantize_vision)
     service = QAService(
         stage, tokenizer, params,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,

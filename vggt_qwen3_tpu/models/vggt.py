@@ -43,6 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import VGGTConfig
+from ..ops import quant
 from ..ops.attention import attend
 from ..ops.norms import layer_norm
 from ..ops.rope2d import apply_rope2d, rope2d_cos_sin
@@ -129,7 +130,9 @@ def _vit_block(x, bp, num_heads, eps, *, cos=None, sin=None, rot_mask=None, atte
     B, T, E = x.shape
     hd = E // num_heads
     h = layer_norm(x, bp["ln1_w"], bp["ln1_b"], eps)
-    qkv = h @ bp["qkv_w"] + bp["qkv_b"]
+    # projections route through quant.linear: dense bf16 or int8 dicts
+    # (frozen-tower serving quantization — see vlm.quantize_vision)
+    qkv = quant.linear(h, bp["qkv_w"]) + bp["qkv_b"]
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(B, T, num_heads, hd)
     k = k.reshape(B, T, num_heads, hd)
@@ -139,11 +142,11 @@ def _vit_block(x, bp, num_heads, eps, *, cos=None, sin=None, rot_mask=None, atte
         k = apply_rope2d(k, cos, sin, rot_mask)
     # dense non-causal attention → flash on TPU (frame & global blocks)
     attn = (attend_fn or attend)(q, k, v).reshape(B, T, E)
-    attn = attn @ bp["proj_w"] + bp["proj_b"]
+    attn = quant.linear(attn, bp["proj_w"]) + bp["proj_b"]
     x = x + bp["ls1"] * attn
     h = layer_norm(x, bp["ln2_w"], bp["ln2_b"], eps)
-    h = jax.nn.gelu(h @ bp["mlp_w1"] + bp["mlp_b1"], approximate=False)
-    h = h @ bp["mlp_w2"] + bp["mlp_b2"]
+    h = jax.nn.gelu(quant.linear(h, bp["mlp_w1"]) + bp["mlp_b1"], approximate=False)
+    h = quant.linear(h, bp["mlp_w2"]) + bp["mlp_b2"]
     return x + bp["ls2"] * h
 
 

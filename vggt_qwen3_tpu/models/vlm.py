@@ -59,6 +59,44 @@ def init_params(rng: jax.Array, cfg: VLMConfig, dtype: Optional[str] = None) -> 
     return params
 
 
+VISION_BLOCK_QUANT_KEYS = ("qkv_w", "proj_w", "mlp_w1", "mlp_w2")
+
+
+def quantize_vision(params: Params, *, mode: str = "w8", donate: bool = True) -> Params:
+    """Quantize the frozen VGGT tower's block matmuls for serving.
+
+    ``w8``: per-output-channel int8 weights (near-lossless; tower is frozen,
+    so this is pure inference-side compression). ``w8a8``: additionally run
+    the dots as int8×int8 on the MXU (2× bf16 rate — the vision forward at
+    batch is compute-bound). Patch-embed conv, norms, LayerScale, tokens and
+    the Perceiver/geom heads stay bf16. Gate on real weights with the vision
+    drift test protocol (``tests/test_vision_quant.py``).
+    """
+    from ..ops.quant import mark_act_quant, quantize_per_channel
+
+    assert mode in ("w8", "w8a8"), mode
+    if "vision" not in params:
+        return params
+    donate_args = (0,) if donate else ()
+    quantize = jax.jit(quantize_per_channel, donate_argnums=donate_args)
+
+    def quantize_blocks(blocks):
+        out = dict(blocks)
+        for key in VISION_BLOCK_QUANT_KEYS:
+            out[key] = quantize(blocks[key])
+            if mode == "w8a8":
+                out[key] = mark_act_quant(out[key])
+        return out
+
+    vis = dict(params["vision"])
+    vis["patch"] = dict(vis["patch"], blocks=quantize_blocks(vis["patch"]["blocks"]))
+    vis["frame_blocks"] = quantize_blocks(vis["frame_blocks"])
+    vis["global_blocks"] = quantize_blocks(vis["global_blocks"])
+    out = dict(params)
+    out["vision"] = vis
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Encoders
 # ---------------------------------------------------------------------------
