@@ -29,9 +29,9 @@ def e2e_mode() -> None:
     448² image → VGGT-1B → Perceiver(128) → splice → prefill → 32-token greedy
     decode (north-star <200 ms on v5e-8; single-chip numbers here).
 
-    BENCH_WQUANT selects the weight mode (default w8 — the current fastest;
-    w4 streams half the bytes but every W4 matmul formulation measured slower
-    on this toolchain so far — see BASELINE.md chip notes).
+    BENCH_WQUANT selects the text weight mode (w8a8 default — decode at B=1
+    is memory-bound so it ties w8 here; w4 is a storage mode that measured
+    slower — BASELINE.md). "none" = bf16.
     """
     import jax
     import jax.numpy as jnp
@@ -50,9 +50,9 @@ def e2e_mode() -> None:
         num_vis_tokens=128, geom_tokens=0, dtype="bfloat16",
     )
     params = vlm.init_params(jax.random.PRNGKey(0), cfg, dtype="bfloat16")
-    params["text"] = qwen3.quantize_params(
-        params["text"], mode=os.environ.get("BENCH_WQUANT", "w8")
-    )
+    wq = os.environ.get("BENCH_WQUANT", "w8a8")
+    if wq != "none":
+        params["text"] = qwen3.quantize_params(params["text"], mode=wq)
     np.asarray(jax.tree.leaves(params)[0][0])
 
     img_id = cfg.text.vocab_size - 1
@@ -113,9 +113,9 @@ def qa_mode() -> None:
         num_vis_tokens=128, geom_tokens=0, dtype="bfloat16",
     )
     params = vlm.init_params(jax.random.PRNGKey(0), cfg, dtype="bfloat16")
-    params["text"] = qwen3.quantize_params(
-        params["text"], mode=os.environ.get("BENCH_WQUANT", "w8a8")
-    )
+    wq = os.environ.get("BENCH_WQUANT", "w8a8")
+    if wq != "none":
+        params["text"] = qwen3.quantize_params(params["text"], mode=wq)
     vq = os.environ.get("BENCH_VQUANT", "none")  # none|w8|w8a8 (frozen tower)
     if vq != "none":
         params = vlm.quantize_vision(params, mode=vq)
@@ -159,6 +159,13 @@ def qa_mode() -> None:
         ),
         flush=True,
     )
+
+
+def _kv_dtype(tiny: bool):
+    if tiny:
+        return None
+    kv = os.environ.get("BENCH_KV", "int8")
+    return "bfloat16" if kv == "bf16" else kv
 
 
 def main() -> None:
@@ -209,7 +216,7 @@ def main() -> None:
         pad_token_id=0,
         repetition_penalty=1.0,
         no_repeat_ngram=0,
-        kv_dtype=None if tiny else {"bf16": "bfloat16"}.get(os.environ.get("BENCH_KV", "int8"), os.environ.get("BENCH_KV", "int8")),
+        kv_dtype=_kv_dtype(tiny),
     )
     ids = jnp.asarray(np.random.default_rng(0).integers(1, cfg.vocab_size, (B, prompt_len)))
     embeds = qwen3.embed_tokens(params, ids)

@@ -72,18 +72,30 @@ def test_ragged_view_counts_pad_and_collate(toy_dir, tmp_path):
             p = img_dir / f"s{i}_v{v}.jpg"
             shutil.copy(src, p)
             views.append(str(p))
-        rows.append({"images": views, "question": "q?", "answer": "a",
-                     "scene_id": f"s{i}", "task": "qa"})
+        # per-view geom with the SAME ragged count as the images (row 1 none)
+        geom = None if i == 1 else {
+            "R": [[float(v)] * 9 for v in range(n_views)],
+            "t": [[0.0] * 3] * n_views,
+            "K": [[1.0] * 9] * n_views,
+            "depth_hist": [[0.1] * 16] * n_views,
+        }
+        rows.append({"images": views, "geom_token": geom, "question": "q?",
+                     "answer": "a", "scene_id": f"s{i}", "task": "qa"})
     jl = tmp_path / "ragged.jsonl"
     jl.write_text("\n".join(json.dumps(r) for r in rows))
 
     ds = MultiViewJsonDataset(DatasetConfig(str(jl), 3, 56, "qa"))
     for i in range(3):
         assert len(ds[i]["images"]) == 3, i  # padded to num_views
+        g = ds[i]["geom_token"]
+        if g is not None:
+            assert g["R"].shape == (3, 9), i  # geom views padded too
     tok = load_tokenizer(None)
-    collator = MultiViewCollator(56, tok, 128, num_vis_tokens=8, geom_tokens=0)
+    collator = MultiViewCollator(56, tok, 128, num_vis_tokens=8, geom_tokens=2)
     batch = collator([ds[0], ds[1], ds[2]])
     assert batch["pixel_values"].shape[:2] == (3, 3)
+    assert batch["geom_token"]["R"].shape == (3, 3, 9)  # [B, V, k], ragged mix ok
+    assert list(batch["geom_token"]["mask"]) == [True, False, True]
 
 
 def test_collator_emit_geom_forced(toy_dir):
@@ -99,7 +111,13 @@ def test_collator_emit_geom_forced(toy_dir):
     batch = collator([s, s])
     assert batch["geom_token"] is not None
     assert not batch["geom_token"]["mask"].any()
-    assert batch["geom_token"]["R"].shape[0] == 2
+    # SHAPE STABILITY: geom arrays are [B, V, k] whether or not any row
+    # carries geom — a with-geom batch must produce identical shapes, or
+    # multi-host ranks compile different programs for one global step
+    with_geom = collator([ds[0], ds[1]])
+    for key in ("R", "t", "K", "depth_hist"):
+        assert batch["geom_token"][key].shape == with_geom["geom_token"][key].shape, key
+        assert batch["geom_token"][key].shape[1] == 2  # V = padded view count
     # and emit_geom=False suppresses geom even when rows have it
     collator2 = MultiViewCollator(56, tok, 128, num_vis_tokens=8, geom_tokens=2,
                                   emit_geom=False)

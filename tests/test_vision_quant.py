@@ -70,4 +70,5 @@ def test_vision_quant_composes_with_vlm_encode():
         num_vis_tokens=8, geom_tokens=0, dtype="float32", vision_backbone="mock",
     )
     mp = vlm.init_params(jax.random.PRNGKey(4), mock_cfg, dtype="float32")
-    assert vlm.quantize_vision(mp, mode="w8") is mp or "vision" not in mp
+    assert "vision" not in mp
+    assert vlm.quantize_vision(mp, mode="w8") is mp  # strict no-op for mock

@@ -24,16 +24,12 @@ import numpy as np
 from ..ops.preprocess import preprocess_views
 from .tokenizer import IMAGE_TOKEN
 
-GEOM_KEYS = ("R", "t", "K", "depth_hist")
+# single source of truth for the geom feature layout (R:9, t:3, K:9,
+# depth_hist:16 = 37 dims) — keep the collator's zero templates in sync with
+# what models/geom.pack_features consumes
+from ..models.geom import FEATURE_SPLITS
 
-# canonical geom_token schema (prepare_scanqa.py output; 9+3+9+16 = 37 dims)
-# — the zero template when emit_geom is forced but no row carries geom
-DEFAULT_GEOM_SCHEMA = {
-    "R": [0.0] * 9,
-    "t": [0.0] * 3,
-    "K": [0.0] * 9,
-    "depth_hist": [0.0] * 16,
-}
+GEOM_KEYS = tuple(FEATURE_SPLITS)
 
 
 class MultiViewCollator:
@@ -131,20 +127,32 @@ class MultiViewCollator:
         if emit_geom is None:
             emit_geom = any(g is not None for g in geoms)
         if emit_geom:
-            template = next(
-                (g for g in geoms if g is not None), DEFAULT_GEOM_SCHEMA
-            )
+            # SHAPE-STABLE geom batch: always [B, V, k] per FEATURE_SPLITS key
+            # (V = the batch's padded view count), regardless of which rows
+            # carry geom or how each source stores it — a template-shaped
+            # batch would make the array shapes depend on the local rows,
+            # breaking the one-XLA-program / multi-host invariant.
+            V = pixel[0].shape[0] if pixel else 1
             geom_batch = {}
-            for key in template:
-                tmpl = np.asarray(template[key], np.float32)
-                rows = [
-                    np.asarray(g[key], np.float32) if g is not None else np.zeros_like(tmpl)
-                    for g in geoms
-                ]
-                stacked = np.stack(rows, axis=0)
-                if stacked.ndim == 2:  # [B, k] → [B, V=1, k] for view pooling
-                    stacked = stacked[:, None, :]
-                geom_batch[key] = stacked
+            for key, width in FEATURE_SPLITS.items():
+                rows = []
+                for g in geoms:
+                    if g is None or key not in g:
+                        rows.append(np.zeros((V, width), np.float32))
+                        continue
+                    a = np.asarray(g[key], np.float32)
+                    if a.ndim == 1:  # flat [k] → broadcast over views
+                        a = np.broadcast_to(a, (V, width)).copy()
+                    else:            # per-view [V', k] → pad/truncate to V
+                        a = a[:V]
+                        if a.shape[0] and a.shape[0] < V:
+                            a = np.concatenate(
+                                [a, np.repeat(a[-1:], V - a.shape[0], axis=0)]
+                            )
+                        elif not a.shape[0]:
+                            a = np.zeros((V, width), np.float32)
+                    rows.append(a)
+                geom_batch[key] = np.stack(rows, axis=0)
             geom_batch["mask"] = np.asarray([g is not None for g in geoms], bool)
 
         return {

@@ -95,6 +95,24 @@ class MultiViewJsonDataset:
         """Raw record metadata without loading images (qa_inference.py:353)."""
         return self._record(idx)
 
+    def _normalize_geom(self, geom):
+        """Per-view geom arrays follow the same truncate/pad-to-num_views
+        policy as the images (repeat last view) — ragged geom view counts
+        across mixed sources would otherwise crash the collator's stack, and
+        geom views must describe the views the model actually sees."""
+        if not isinstance(geom, dict):
+            return geom
+        V = self.config.num_views
+        out = {}
+        for key, val in geom.items():
+            a = np.asarray(val, np.float32)
+            if a.ndim == 2 and a.shape[0] != V:
+                a = a[:V]
+                if a.shape[0] and a.shape[0] < V:
+                    a = np.concatenate([a, np.repeat(a[-1:], V - a.shape[0], axis=0)])
+            out[key] = a
+        return out
+
     def __getitem__(self, idx: int) -> Dict:
         sample = self._record(idx)
         images = sample["images"][: self.config.num_views]
@@ -107,7 +125,7 @@ class MultiViewJsonDataset:
             loaded.append(loaded[-1])
         return {
             "images": loaded,
-            "geom_token": sample.get("geom_token"),
+            "geom_token": self._normalize_geom(sample.get("geom_token")),
             "question": sample.get("question") or sample.get("instruction"),
             "answer": sample.get("answer") or sample.get("action_json"),
             "task": sample.get("task", self.config.task),
