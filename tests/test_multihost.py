@@ -58,22 +58,31 @@ def test_two_process_training_matches_single_process(tmp_path):
     )
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
 
+    # Gloo's rendezvous times out when the machine is heavily loaded (two
+    # fresh processes must connect within its window) — retry once before
+    # declaring failure; a real wiring bug fails both attempts.
     multi = tmp_path / "multi"
-    port = _free_port()
-    procs = []
-    for rank in range(2):
-        procs.append(subprocess.Popen(
-            _cmd(multi, [
-                "--multihost",
-                "--coordinator_address", f"127.0.0.1:{port}",
-                "--num_processes", "2", "--process_id", str(rank),
-            ]),
-            cwd=REPO, env=_env(4),
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        ))
-    outs = [p.communicate(timeout=900) for p in procs]
-    for p, (so, se) in zip(procs, outs):
-        assert p.returncode == 0, (so[-2000:], se[-2000:])
+    for attempt in range(2):
+        port = _free_port()
+        procs = []
+        for rank in range(2):
+            procs.append(subprocess.Popen(
+                _cmd(multi, [
+                    "--multihost",
+                    "--coordinator_address", f"127.0.0.1:{port}",
+                    "--num_processes", "2", "--process_id", str(rank),
+                ]),
+                cwd=REPO, env=_env(4),
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            ))
+        outs = [p.communicate(timeout=900) for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            break
+        transient = any("Connect timeout" in se or "initialization failed" in se
+                        for _, se in outs)
+        if attempt == 1 or not transient:
+            for p, (so, se) in zip(procs, outs):
+                assert p.returncode == 0, (so[-2000:], se[-2000:])
 
     ls, lm = _losses(single), _losses(multi)
     assert set(ls) == set(lm) and len(ls) >= 4
