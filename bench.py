@@ -6,8 +6,10 @@ weight-value-independent. Prints ONE JSON line:
     {"metric": "qwen3_4b_decode_tok_s_chip", "value": N, "unit": "tok/s",
      "vs_baseline": N/5000}
 
-Env knobs: BENCH_BATCH (default 384), BENCH_KV (int8|bf16, default int8), BENCH_DECODE (default 128),
-BENCH_PROMPT (default 32), BENCH_TINY=1 (smoke: tiny model, CPU-safe).
+Env knobs: BENCH_BATCH (default 368), BENCH_KV (int8|bf16, default int8),
+BENCH_DECODE (default 128), BENCH_PROMPT (default 32), BENCH_QUANT
+(w8a8|w8|none, default w8a8), BENCH_TINY=1 (smoke: tiny model, CPU-safe).
+Modes: BENCH_MODE=e2e (query latency), =qa (pipeline samples/s).
 
 Timing note: this environment's tunneled TPU backend does not synchronize on
 ``block_until_ready`` — only host fetches synchronize — so timing fetches the
