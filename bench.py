@@ -7,9 +7,16 @@ weight-value-independent. Prints ONE JSON line:
      "vs_baseline": N/5000}
 
 Env knobs: BENCH_BATCH (default 368), BENCH_KV (int8|bf16, default int8),
-BENCH_DECODE (default 128), BENCH_PROMPT (default 32), BENCH_QUANT
-(w8a8|w8|none, default w8a8), BENCH_TINY=1 (smoke: tiny model, CPU-safe).
-Modes: BENCH_MODE=e2e (query latency), =qa (pipeline samples/s).
+BENCH_DECODE (default 128), BENCH_PROMPT (default 32), BENCH_TINY=1 (smoke:
+tiny model, CPU-safe). BENCH_QUANT (w8|w8a8|none) selects the text weight
+mode in EVERY bench mode (BENCH_WQUANT is accepted as a legacy alias);
+BENCH_VQUANT (qa mode) quantizes the frozen vision tower. Default is **w8**
+(W8A16): near-lossless per the mid-size drift gates. w8a8 is the throughput
+mode (int8×int8 MXU dots, ~1.5× faster) but its EM delta on real weights is
+unverified (`evals/baseline.py --compare_quant --quant_mode w8a8`) — it is
+deliberately NOT the published headline until that gate clears.
+Modes: BENCH_MODE=e2e (query latency), =qa (pipeline samples/s),
+=train (stage-1 recipe step time / tokens/s / MFU).
 
 Timing note: this environment's tunneled TPU backend does not synchronize on
 ``block_until_ready`` — only host fetches synchronize — so timing fetches the
@@ -26,13 +33,19 @@ import time
 import numpy as np
 
 
+def _text_quant_mode() -> str:
+    """Text-weight quant mode for all bench modes: BENCH_QUANT, legacy alias
+    BENCH_WQUANT. Default w8 (W8A16) — the near-lossless headline mode."""
+    return os.environ.get("BENCH_QUANT", os.environ.get("BENCH_WQUANT", "w8"))
+
+
 def e2e_mode() -> None:
     """BENCH_MODE=e2e: single-view ScanQA-style query latency on one chip —
     448² image → VGGT-1B → Perceiver(128) → splice → prefill → 32-token greedy
     decode (north-star <200 ms on v5e-8; single-chip numbers here).
 
-    BENCH_WQUANT selects the text weight mode (w8a8 default — decode at B=1
-    is memory-bound so it ties w8 here; w4 is a storage mode that measured
+    BENCH_QUANT selects the text weight mode (w8 default — decode at B=1 is
+    memory-bound so w8a8 ties it here; w4 is a storage mode that measured
     slower — BASELINE.md). "none" = bf16.
     """
     import jax
@@ -52,7 +65,7 @@ def e2e_mode() -> None:
         num_vis_tokens=128, geom_tokens=0, dtype="bfloat16",
     )
     params = vlm.init_params(jax.random.PRNGKey(0), cfg, dtype="bfloat16")
-    wq = os.environ.get("BENCH_WQUANT", "w8a8")
+    wq = _text_quant_mode()
     if wq != "none":
         params["text"] = qwen3.quantize_params(params["text"], mode=wq)
     np.asarray(jax.tree.leaves(params)[0][0])
@@ -115,7 +128,7 @@ def qa_mode() -> None:
         num_vis_tokens=128, geom_tokens=0, dtype="bfloat16",
     )
     params = vlm.init_params(jax.random.PRNGKey(0), cfg, dtype="bfloat16")
-    wq = os.environ.get("BENCH_WQUANT", "w8a8")
+    wq = _text_quant_mode()
     if wq != "none":
         params["text"] = qwen3.quantize_params(params["text"], mode=wq)
     vq = os.environ.get("BENCH_VQUANT", "none")  # none|w8|w8a8 (frozen tower)
@@ -202,11 +215,12 @@ def main() -> None:
     rng = jax.random.PRNGKey(0)
     t0 = time.time()
     params = qwen3.init_params(rng, cfg, dtype=cfg.dtype)
-    # w8a8 (default): int8 weights + dynamic per-row int8 activations —
-    # int8×int8 MXU dots at 2× the bf16 rate; decode at this batch is ~half
-    # compute-bound, so this is the throughput mode (11,011 vs 7,512 tok/s).
-    # BENCH_QUANT=w8 for the near-lossless W8A16 number, =none for bf16.
-    bench_quant = os.environ.get("BENCH_QUANT", "w8a8")
+    # w8 (default): int8 weights, bf16 activations — near-lossless per the
+    # mid-size drift gates, so it is the published headline. BENCH_QUANT=w8a8
+    # adds dynamic per-row int8 activations (int8×int8 MXU dots at 2× the
+    # bf16 rate → ~1.5× tok/s) but its real-weight EM delta is unverified;
+    # =none for bf16.
+    bench_quant = _text_quant_mode()
     if bench_quant in ("w8", "w8a8") and not tiny:
         params = qwen3.quantize_params(params, mode=bench_quant)
     jax.block_until_ready(params)

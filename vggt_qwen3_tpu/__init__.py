@@ -5,8 +5,9 @@ Rebuilds the capabilities of the VGGT-Qwen3 RoomPlan stack (reference:
 
 - ``models/``  : Qwen3 decoder, VGGT-1B aggregator, Perceiver projector, geometry
   head, and the composed VLM — all pure-functional JAX (param pytrees + apply fns).
-- ``ops/``     : Pallas TPU kernels (flash attention, decode attention over a paged
-  KV cache, fused RMSNorm/SwiGLU) and XLA-fused image preprocessing.
+- ``ops/``     : Pallas flash-attention kernels (fwd + bwd), quantized-matmul /
+  quantized-KV attention paths (XLA-fused where XLA wins — see BASELINE.md for
+  the measured kernel-vs-XLA findings), and XLA-fused image preprocessing.
 - ``parallel/``: device mesh construction and sharding-spec registry (pjit
   NamedSharding over ``dp``/``fsdp``/``tp`` axes; ICI collectives emitted by XLA).
 - ``train/``   : SFT trainer (two-group AdamW + cosine warmup, grad accumulation,

@@ -141,6 +141,12 @@ class MultiViewCollator:
                         rows.append(np.zeros((V, width), np.float32))
                         continue
                     a = np.asarray(g[key], np.float32)
+                    if a.shape[-1] != width:
+                        raise ValueError(
+                            f"geom_token[{key!r}] has width {a.shape[-1]}, "
+                            f"expected {width} (FEATURE_SPLITS); offending "
+                            f"record index {len(rows)} in this batch"
+                        )
                     if a.ndim == 1:  # flat [k] → broadcast over views
                         a = np.broadcast_to(a, (V, width)).copy()
                     else:            # per-view [V', k] → pad/truncate to V

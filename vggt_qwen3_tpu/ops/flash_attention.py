@@ -191,6 +191,7 @@ def _flash_attention_impl(
         full = -(-n // 128) * 128
         return full if full <= 2048 else cap
 
+    explicit_blocks = block_q is not None or block_kv is not None
     if block_q is None:
         block_q = _auto(S, 512)
     if block_kv is None:
@@ -198,12 +199,21 @@ def _flash_attention_impl(
     # cap the [bq, bkv] fp32 score/prob tile: 1152² (~5.3 MB, the measured
     # vision shape) is safe alongside q/k/v/acc tiles; independent 2048 caps
     # would allow a 16 MB tile that blows the ~16 MB VMEM budget for
-    # sequences in the (1152, 2048] band
-    while block_q * block_kv > 1152 * 1152:
-        if block_q >= block_kv:
-            block_q = max(128, block_q // 2)
-        else:
-            block_kv = max(128, block_kv // 2)
+    # sequences in the (1152, 2048] band. Auto-selected blocks only —
+    # explicitly passed blocks are the caller's tuning contract.
+    if explicit_blocks:
+        if block_q * block_kv > 1152 * 1152:
+            raise ValueError(
+                f"explicit block_q={block_q} × block_kv={block_kv} exceeds the "
+                f"~16 MB VMEM score-tile budget (cap {1152 * 1152}); pass "
+                "smaller blocks or omit them for auto selection"
+            )
+    else:
+        while block_q * block_kv > 1152 * 1152:
+            if block_q >= block_kv:
+                block_q = max(128, block_q // 2)
+            else:
+                block_kv = max(128, block_kv // 2)
     # never exceed the (8-aligned) sequence itself; keeps tiny explicit test
     # blocks intact and avoids over-padding when S is just above a multiple
     block_q = max(8, min(block_q, -(-S // 8) * 8))

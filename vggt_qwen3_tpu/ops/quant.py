@@ -159,6 +159,13 @@ def linear(x: jnp.ndarray, w) -> jnp.ndarray:
     if "w4p" in w:
         return _w4_linear(x, w)
     if A8_MARKER in w:
+        if w["w8"].ndim != 2:
+            raise ValueError(
+                f"W8A8 linear expects a 2-D weight, got shape {w['w8'].shape}: "
+                "stacked [L, K, N] W8A8 dicts must be sliced per layer first "
+                "(e.g. inside lax.scan), unlike the plain-W8 branch which "
+                "batches over leading dims"
+            )
         lead = x.shape[:-1]
         x8, xs = quantize_activations(x.reshape(-1, x.shape[-1]))
         y = jax.lax.dot_general(
