@@ -176,6 +176,162 @@ def qa_mode() -> None:
     )
 
 
+def train_mode() -> None:
+    """BENCH_MODE=train: stage-1 recipe training throughput (VERDICT r2 item 5).
+
+    Measures the per-microbatch fwd+bwd (loss + grads for the trainable
+    params) at the exact shipped stage-1 shape — ``configs/stage1_3d.yaml``:
+    B=6/device, 8 views @ 448², max_length 512, LoRA(r16 qkvo) + projector +
+    geom trainable, VGGT frozen — and projects the full accum-32 optimizer
+    step. The AdamW update itself is excluded from the measured region: its
+    optimizer state (~9.6 GB f32 moments for the 1.2B-param projector) plus
+    weights exceeds one 16 GB chip — that is exactly the ZeRO-3/fsdp=8
+    motivation — so the update cost is bounded analytically (weight+moment
+    streaming) and stated. Knobs: BENCH_TRAIN_BATCH (default 6),
+    BENCH_TRAIN_VIEWS (8), BENCH_TINY=1 (CPU smoke on the toy shapes).
+
+    Prints step_time_s for the effective optimizer step; stderr carries the
+    tokens/s and MFU breakdown.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vggt_qwen3_tpu.config import load_stage_config, QWEN3_TINY, VGGT_TINY
+    from vggt_qwen3_tpu.models import vlm
+
+    tiny = os.environ.get("BENCH_TINY") == "1"
+    stage = load_stage_config(
+        "configs/stage1_3d.yaml",
+        text_config=QWEN3_TINY if tiny else None,
+        vision_config=VGGT_TINY if tiny else None,
+    )
+    mcfg = stage.model
+    if tiny:
+        import dataclasses
+
+        from vggt_qwen3_tpu.config import PerceiverConfig
+
+        mcfg = dataclasses.replace(
+            mcfg, projector=PerceiverConfig(latent_dim=64, num_latents=16,
+                                            num_heads=4, num_layers=2, ffn_dim=128),
+            num_vis_tokens=16, dtype="float32",
+        )
+    B = int(os.environ.get("BENCH_TRAIN_BATCH", "2" if tiny else "6"))
+    V = int(os.environ.get("BENCH_TRAIN_VIEWS", "2" if tiny else "8"))
+    S = 56 if tiny else stage.data.image_size          # 448
+    T = 64 if tiny else stage.data.max_length          # 512
+    accum = stage.train.grad_accum                     # 32
+
+    params = vlm.init_params(jax.random.PRNGKey(0), mcfg, dtype=mcfg.dtype)
+    if stage.lora.enable:
+        from vggt_qwen3_tpu.models import qwen3 as qwen3_mod
+
+        params["text"] = qwen3_mod.add_lora(
+            params["text"], mcfg.text, stage.lora, jax.random.PRNGKey(7)
+        )
+
+    # trainable = LoRA adapters + projector + geom head; everything else
+    # closes over as frozen (grads never allocated for the 4B base / VGGT)
+    trainable = {"projector": params.pop("projector"), "geom": params.pop("geom")}
+    if stage.lora.enable:
+        text = dict(params["text"])
+        layers = dict(text["layers"])
+        trainable["lora"] = layers.pop("lora")
+        text["layers"] = layers
+        params["text"] = text
+    frozen = params
+
+    img_id = mcfg.text.vocab_size - 1
+    rngnp = np.random.default_rng(0)
+    images = jnp.asarray(rngnp.uniform(0, 1, (B, V, 3, S, S)), mcfg.dtype)
+    ids = rngnp.integers(1, mcfg.text.vocab_size, (B, T))
+    ids[:, 4] = img_id
+    input_ids = jnp.asarray(ids)
+    mask = jnp.ones((B, T), jnp.int32)
+    labels = jnp.asarray(np.where(np.arange(T)[None] < 8, -100, ids))
+    geom = {
+        "R": jnp.asarray(rngnp.normal(size=(B, V, 9)), jnp.float32),
+        "t": jnp.asarray(rngnp.normal(size=(B, V, 3)), jnp.float32),
+        "K": jnp.asarray(rngnp.normal(size=(B, V, 9)), jnp.float32),
+        "depth_hist": jnp.asarray(rngnp.normal(size=(B, V, 16)), jnp.float32),
+        "mask": jnp.ones((B,), bool),
+    }
+
+    def loss_fn(trainable, frozen, rng):
+        p = dict(frozen)
+        p["projector"] = trainable["projector"]
+        p["geom"] = trainable["geom"]
+        if "lora" in trainable:
+            text = dict(p["text"])
+            text["layers"] = dict(text["layers"], lora=trainable["lora"])
+            p["text"] = text
+        return vlm.train_forward(
+            p, mcfg, images=images, geom_token=geom, input_ids=input_ids,
+            attention_mask=mask, labels=labels, image_token_id=img_id, rng=rng,
+        )
+
+    grad_step = jax.jit(jax.value_and_grad(loss_fn))
+
+    t0 = time.time()
+    loss, grads = grad_step(trainable, frozen, jax.random.PRNGKey(1))
+    lval = float(np.asarray(loss))
+    print(f"compile+warmup: {time.time()-t0:.1f}s loss={lval:.3f}", file=sys.stderr, flush=True)
+    assert np.isfinite(lval)
+
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        loss, grads = grad_step(trainable, frozen, jax.random.PRNGKey(2 + i))
+        np.asarray(loss)  # host fetch forces execution on this backend
+        times.append(time.time() - t0)
+    micro_s = min(times)
+
+    # analytic bound for the excluded AdamW update (runs once per accum steps):
+    # read+write bf16 trainable weights & grads + f32 mu/nu ≈ 16 bytes/param.
+    n_train = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(grads))
+    hbm_gbs = 500e9  # measured effective HBM bandwidth on this chip
+    update_s = 16 * n_train / hbm_gbs
+    step_s = accum * micro_s + update_s
+
+    # tokens & MFU accounting (fwd 2PN, bwd adds ~4PN on trainable-path flops;
+    # frozen VGGT is fwd-only; text base fwd+activation-bwd ≈ 6PN with LoRA)
+    n_text = 4.02e9
+    n_vis = 0.91e9
+    n_proj = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(trainable["projector"]))
+    vis_tokens = B * V * (1 + 4 + (S // 14) ** 2)
+    text_tokens = B * T
+    flops = (
+        2 * n_vis * vis_tokens            # frozen vision fwd
+        + 6 * n_text * text_tokens        # text fwd + full activation bwd
+        + 6 * n_proj * B * mcfg.projector.num_latents
+    )
+    if tiny:
+        flops = 1.0  # MFU meaningless on toy dims
+    peak = 197e12  # v5e bf16 spec
+    mfu = flops / micro_s / peak
+    tok_s = accum * text_tokens / step_s
+    print(
+        f"micro={micro_s*1000:.0f} ms (B={B} V={V} {S}px T={T}) step={step_s:.1f}s "
+        f"(accum {accum} + update {update_s*1000:.0f} ms analytic) "
+        f"text tok/s={tok_s:.0f} MFU={mfu*100:.1f}% "
+        f"30k steps ≈ {step_s*30000/3600:.1f} h/chip-equivalent; v5e-8 dp8 ≈ same "
+        f"step time at 8× global batch",
+        file=sys.stderr, flush=True,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "stage1_train_step_s",
+                "value": round(step_s, 2),
+                "unit": "s/step",
+                # reference budget: 30k steps in a 24h Slurm window → 2.88 s/step
+                "vs_baseline": round((24 * 3600 / 30000) / step_s, 3),
+            }
+        ),
+        flush=True,
+    )
+
+
 def _kv_dtype(tiny: bool):
     if tiny:
         return None
@@ -195,6 +351,8 @@ def main() -> None:
         return e2e_mode()
     if os.environ.get("BENCH_MODE") == "qa":
         return qa_mode()
+    if os.environ.get("BENCH_MODE") == "train":
+        return train_mode()
 
     tiny = os.environ.get("BENCH_TINY") == "1"
     cfg = QWEN3_TINY if tiny else QWEN3_4B_INSTRUCT_2507

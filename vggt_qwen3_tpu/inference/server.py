@@ -1,14 +1,22 @@
-"""Minimal continuous-batching QA serving daemon.
+"""Continuous-batching QA serving daemon.
 
 The reference has no serving path at all (SURVEY.md §0: "no serving daemon");
-this closes that gap with a deliberately small design: an HTTP front end
-enqueues requests, a single batcher thread coalesces them (up to
-``--max_batch`` or ``--max_wait_ms``) and runs the compile-once spliced
-generate from ``inference/batching.py``. Requests pad to fixed buckets so the
-device program never retraces at serve time.
+this closes that gap. Two engines:
+
+- ``--engine slots`` (default): **token-level continuous batching** — per-
+  sequence KV slots with mid-decode admission (``inference/slots.py``). A
+  request arriving while others are decoding is prefilled into a free slot
+  and joins within one decode chunk.
+- ``--engine batch``: batch-boundary coalescing — a batcher thread groups
+  requests (up to ``--max_batch`` / ``--max_wait_ms``) and runs the
+  compile-once spliced generate from ``inference/batching.py``. Lower
+  overhead for uniform offline workloads (the eval shape).
+
+Requests pad to fixed buckets either way, so the device programs never
+retrace at serve time.
 
     python -m vggt_qwen3_tpu.inference.server --config configs/toy.yaml \
-        --tiny --port 8765 [--max_batch 8] [--max_wait_ms 50]
+        --tiny --port 8765 [--engine slots|batch] [--kv_dtype int8|bf16]
 
     curl -s localhost:8765/healthz
     curl -s -X POST localhost:8765/v1/qa -d '{"question": "What color is the room?",
@@ -29,7 +37,7 @@ from typing import Dict, List
 import numpy as np
 
 from ..data.tokenizer import IMAGE_TOKEN, load_tokenizer
-from .batching import generate_batch
+from .batching import encode_prompts, generate_batch, stack_views
 from .engine import GenerationConfig
 from .postprocess import postprocess_qa_answer
 from .qa import build_stage, load_model
@@ -37,7 +45,8 @@ from .qa import build_stage, load_model
 
 class QAService:
     def __init__(self, stage, tokenizer, params, *, max_batch: int, max_wait_ms: float,
-                 max_new_tokens: int, prompt_bucket: int) -> None:
+                 max_new_tokens: int, prompt_bucket: int,
+                 kv_dtype: str = "int8") -> None:
         self.stage = stage
         self.tokenizer = tokenizer
         self.params = params
@@ -49,7 +58,7 @@ class QAService:
             eos_token_id=tokenizer.eos_token_id,
             pad_token_id=tokenizer.pad_token_id,
             repetition_penalty=1.1,
-            kv_dtype="int8",
+            kv_dtype=None if kv_dtype in ("bf16", "bfloat16") else kv_dtype,
         )
         self.queue: "queue.Queue[tuple[Dict, Future]]" = queue.Queue()
         self.stats = {"requests": 0, "batches": 0}
@@ -111,6 +120,96 @@ class QAService:
         self._stop.set()
 
 
+class SlotQAService:
+    """Token-level continuous batching front end (``inference/slots.py``):
+    each request is vision-encoded + spliced as a compile-once B=1 program,
+    prefilled into a free KV slot, and decoded alongside whatever else is in
+    flight — mid-decode admission within one decode chunk."""
+
+    def __init__(self, stage, tokenizer, params, *, num_slots: int,
+                 max_new_tokens: int, prompt_bucket: int, decode_chunk: int = 4,
+                 kv_dtype: str = "int8") -> None:
+        from functools import partial
+
+        import jax
+
+        from ..models import qwen3, vlm
+        from .slots import SlotEngine
+
+        self.stage = stage
+        self.tokenizer = tokenizer
+        self.params = params
+        self.prompt_bucket = prompt_bucket
+        self.gen_cfg = GenerationConfig(
+            max_new_tokens=max_new_tokens,
+            eos_token_id=tokenizer.eos_token_id,
+            pad_token_id=tokenizer.pad_token_id,
+            repetition_penalty=1.1,
+            kv_dtype=None if kv_dtype in ("bf16", "bfloat16") else kv_dtype,
+        )
+        # spliced prompt length = bucket + num_vis − 1 (+ geom prepend)
+        vis_span = stage.model.num_vis_tokens + stage.model.geom_tokens
+        max_len = prompt_bucket + vis_span - 1 + max_new_tokens
+        self.engine = SlotEngine(
+            params["text"], stage.model.text, self.gen_cfg,
+            num_slots=num_slots, max_len=max_len, decode_chunk=decode_chunk,
+        )
+        self.image_token_id = tokenizer.convert_tokens_to_ids(IMAGE_TOKEN)
+
+        @partial(jax.jit, static_argnames=("model_cfg", "image_token_id"))
+        def splice_one(params, model_cfg, image_token_id, images, ids, mask):
+            vis = vlm.encode_images(params, model_cfg, images)
+            embeds = qwen3.embed_tokens(params["text"], ids)
+            return vlm.splice_expand(embeds, mask, ids, vis, image_token_id)
+
+        self._splice_one = splice_one
+        self.engine.start()
+
+    @property
+    def stats(self) -> Dict:
+        s = self.engine.stats
+        return {
+            "requests": s.requests,
+            "chunks": s.chunks,
+            "admitted_mid_decode": s.admitted_mid_decode,
+            "tokens": s.tokens,
+        }
+
+    def submit(self, request: Dict) -> Future:
+        from PIL import Image
+
+        outer: Future = Future()
+        try:
+            question = request.get("question", "")
+            images = [np.asarray(Image.open(p).convert("RGB")) for p in request["images"]]
+            sample = {"images": images[: self.stage.data.num_views]}
+            prompt = f"{question}\n{IMAGE_TOKEN}\n"
+            ids, mask = encode_prompts(self.tokenizer, [prompt], pad_to_len=self.prompt_bucket)
+            views = stack_views([sample], self.stage.data.image_size)
+            embeds, mask2 = self._splice_one(
+                self.params, self.stage.model, self.image_token_id,
+                views, ids, mask,
+            )
+            inner = self.engine.submit_embeds(np.asarray(embeds), np.asarray(mask2))
+        except Exception as e:
+            outer.set_exception(e)
+            return outer
+
+        def finish(fut):
+            try:
+                toks, n = fut.result()
+                raw = self.tokenizer.decode(toks[:n], skip_special_tokens=True)
+                outer.set_result({"prediction": postprocess_qa_answer(raw, question)})
+            except Exception as e:  # surfaced to the HTTP handler
+                outer.set_exception(e)
+
+        inner.add_done_callback(finish)
+        return outer
+
+    def stop(self) -> None:
+        self.engine.stop()
+
+
 def make_handler(service: QAService):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
@@ -156,10 +255,24 @@ def main() -> None:
     ap.add_argument("--config", default="configs/stage1_3d.yaml")
     ap.add_argument("--checkpoint_dir", default=None)
     ap.add_argument("--port", type=int, default=8765)
-    ap.add_argument("--max_batch", type=int, default=8)
+    ap.add_argument(
+        "--engine", choices=["slots", "batch"], default="slots",
+        help="slots = token-level continuous batching (mid-decode admission); "
+             "batch = batch-boundary coalescing (lower overhead for uniform "
+             "offline workloads)",
+    )
+    ap.add_argument("--max_batch", type=int, default=8,
+                    help="batch engine: coalescing cap; slots engine: num KV slots")
     ap.add_argument("--max_wait_ms", type=float, default=50.0)
+    ap.add_argument("--decode_chunk", type=int, default=4,
+                    help="slots engine: tokens decoded between admission checks")
     ap.add_argument("--max_new_tokens", type=int, default=32)
     ap.add_argument("--prompt_bucket", type=int, default=64)
+    ap.add_argument(
+        "--kv_dtype", choices=["int8", "bf16"], default="int8",
+        help="KV cache storage: int8 halves decode HBM traffic (near-lossless "
+             "greedy per the drift gates); bf16 = exact",
+    )
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--mock_vision", action="store_true")
     ap.add_argument(
@@ -188,13 +301,26 @@ def main() -> None:
         from ..models import vlm as vlm_mod
 
         params = vlm_mod.quantize_vision(params, mode=args.quantize_vision)
-    service = QAService(
-        stage, tokenizer, params,
-        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-        max_new_tokens=args.max_new_tokens, prompt_bucket=args.prompt_bucket,
-    )
+    if args.engine == "slots":
+        service = SlotQAService(
+            stage, tokenizer, params,
+            num_slots=args.max_batch, max_new_tokens=args.max_new_tokens,
+            prompt_bucket=args.prompt_bucket, decode_chunk=args.decode_chunk,
+            kv_dtype=args.kv_dtype,
+        )
+    else:
+        service = QAService(
+            stage, tokenizer, params,
+            max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+            max_new_tokens=args.max_new_tokens, prompt_bucket=args.prompt_bucket,
+            kv_dtype=args.kv_dtype,
+        )
     server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(service))
-    print(f"🛰  serving on :{args.port} (max_batch {args.max_batch}, wait {args.max_wait_ms}ms)", flush=True)
+    print(
+        f"🛰  serving on :{args.port} (engine {args.engine}, max_batch "
+        f"{args.max_batch}, kv {args.kv_dtype})",
+        flush=True,
+    )
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -1,0 +1,320 @@
+"""Token-level continuous batching: per-sequence KV slots with mid-decode
+admission (VERDICT r2 item 3; north-star serving capability beyond the
+reference's serial HF-generate loop, ``qa_inference.py:207-216``).
+
+Design — TPU-idiomatic, compile-once, fixed shapes throughout:
+
+- One persistent KV cache of ``num_slots`` rows × ``max_len`` columns
+  (``qwen3.init_cache`` layout, int8 KV supported). Each *slot* holds one
+  in-flight sequence, left-aligned in its own row; slots live at different
+  depths simultaneously.
+- **Admission** = a B=1 prefill jit that runs the (vision-spliced) prompt and
+  writes its KV into one cache row (`dynamic_update_slice` into the row) —
+  compiled once per prompt bucket, independent of what other slots are doing.
+- **Decode** = ONE jitted chunk advancing ALL active slots ``decode_chunk``
+  tokens via ``lax.scan``; per-row cache offsets (each slot appends at its own
+  depth) ride the per-row scatter path of :func:`qwen3.forward_hidden`.
+  Finished/empty slots decode junk into masked columns that the next
+  admission overwrites — branch-free, shape-stable.
+- The host scheduler loop alternates admit → decode-chunk → deliver. A request
+  arriving mid-decode waits at most one chunk (default 4 tokens), not the
+  whole batch — the gap VERDICT r2 named vs the batch-boundary coalescer in
+  ``inference/server.py``.
+
+Greedy + repetition-penalty semantics are identical to ``engine.generate``
+(same ``ops/sampling`` processors, same seen-buffer rules for the
+inputs_embeds path); ``tests/test_slot_engine.py`` locks token-exactness.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from queue import Empty, Queue
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Qwen3Config
+from ..models import qwen3
+from ..ops.sampling import apply_no_repeat_ngram, apply_repetition_penalty, greedy_token
+from .engine import GenerationConfig
+
+
+# ---------------------------------------------------------------------------
+# Device-side state
+# ---------------------------------------------------------------------------
+
+
+def init_slot_state(cfg: Qwen3Config, gen_cfg: GenerationConfig, num_slots: int,
+                    max_len: int) -> Dict[str, jnp.ndarray]:
+    """All-device slot bookkeeping (one pytree, donated through the jits)."""
+    B, N = num_slots, gen_cfg.max_new_tokens
+    return {
+        "cache": qwen3.init_cache(cfg, B, max_len, dtype=gen_cfg.kv_dtype or cfg.dtype),
+        "kv_mask": jnp.zeros((B, max_len), jnp.int32),  # per-row key frontier
+        "write_off": jnp.zeros((B,), jnp.int32),        # next cache column
+        "rot_pos": jnp.zeros((B,), jnp.int32),          # next rotary position
+        "next_logits": jnp.zeros((B, cfg.vocab_size), jnp.float32),
+        "seen_ids": jnp.zeros((B, N), jnp.int32),
+        "seen_len": jnp.zeros((B,), jnp.int32),
+        "active": jnp.zeros((B,), bool),
+        "done": jnp.ones((B,), bool),
+        "out": jnp.zeros((B, N), jnp.int32),
+        "n_gen": jnp.zeros((B,), jnp.int32),
+    }
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def _admit(params, state, cfg: Qwen3Config, slot: jnp.ndarray,
+           inputs_embeds: jnp.ndarray, attention_mask: jnp.ndarray):
+    """Prefill one prompt ([1, S, H], left-padded mask [1, S]) into cache row
+    ``slot`` and arm the slot. Other slots' rows are untouched (the row slice
+    is copied out, filled, and written back — ~12 MB for the 4B cache row)."""
+    S = inputs_embeds.shape[1]
+    row_cache = jax.tree.map(
+        lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=1), state["cache"]
+    )
+    positions = jnp.maximum(jnp.cumsum(attention_mask, axis=-1) - 1, 0)
+    # pad the key mask out to the row length so decode columns are visible
+    T = state["kv_mask"].shape[1]
+    row_mask = jnp.zeros((1, T), jnp.int32).at[:, :S].set(attention_mask)
+    logits, row_cache = qwen3.forward(
+        params, cfg, inputs_embeds=inputs_embeds,
+        attention_mask=row_mask, positions=positions,
+        cache=row_cache, cache_offset=0, prefill_padding="left",
+        last_logit_only=True,
+    )
+    cache = jax.tree.map(
+        lambda full, row: jax.lax.dynamic_update_slice_in_dim(full, row, slot, axis=1),
+        state["cache"], row_cache,
+    )
+    n_valid = attention_mask.sum()
+    state = dict(
+        state,
+        cache=cache,
+        kv_mask=jax.lax.dynamic_update_slice_in_dim(state["kv_mask"], row_mask, slot, axis=0),
+        write_off=state["write_off"].at[slot].set(S),
+        rot_pos=state["rot_pos"].at[slot].set(n_valid),
+        next_logits=state["next_logits"].at[slot].set(logits[0, -1]),
+        seen_ids=state["seen_ids"].at[slot].set(0),
+        seen_len=state["seen_len"].at[slot].set(0),
+        active=state["active"].at[slot].set(True),
+        done=state["done"].at[slot].set(False),
+        out=state["out"].at[slot].set(0),
+        n_gen=state["n_gen"].at[slot].set(0),
+    )
+    return state
+
+
+@partial(jax.jit, static_argnames=("cfg", "gen_cfg", "chunk"), donate_argnums=(1,))
+def _decode_chunk(params, state, cfg: Qwen3Config, gen_cfg: GenerationConfig, chunk: int):
+    """Advance every active slot ``chunk`` tokens (one compiled scan)."""
+    B = state["active"].shape[0]
+    N = gen_cfg.max_new_tokens
+    rows = jnp.arange(B)
+
+    def step(state, _):
+        logits = apply_repetition_penalty(
+            state["next_logits"], state["seen_ids"], state["seen_len"],
+            gen_cfg.repetition_penalty,
+        )
+        logits = apply_no_repeat_ngram(
+            logits, state["seen_ids"], state["seen_len"], gen_cfg.no_repeat_ngram
+        )
+        tok = greedy_token(logits)
+        stopped = state["done"] | ~state["active"]
+        out_tok = jnp.where(stopped, gen_cfg.pad_token_id, tok)
+        if gen_cfg.eos_token_id is not None:
+            done = state["done"] | (tok == gen_cfg.eos_token_id)
+        else:
+            done = state["done"]
+        # budget exhaustion also finishes the slot
+        n_gen = jnp.where(stopped, state["n_gen"], state["n_gen"] + 1)
+        done = done | (n_gen >= N)
+
+        write_idx = jnp.clip(state["n_gen"], 0, N - 1)
+        out = jnp.where(
+            stopped[:, None], state["out"],
+            state["out"].at[rows, write_idx].set(out_tok),
+        )
+        seen_ids = state["seen_ids"].at[rows, jnp.clip(state["seen_len"], 0, N - 1)].set(out_tok)
+        seen_len = jnp.where(stopped, state["seen_len"], state["seen_len"] + 1)
+
+        # advance the model for every slot (finished slots produce junk into
+        # columns the next admission overwrites; branch-free & shape-stable)
+        off = jnp.clip(state["write_off"], 0, state["kv_mask"].shape[1] - 1)
+        kv_mask = state["kv_mask"].at[rows, off].set(1)
+        emb = qwen3.embed_tokens(params, out_tok[:, None])
+        logits_new, cache = qwen3.forward(
+            params, cfg, inputs_embeds=emb, attention_mask=kv_mask,
+            positions=state["rot_pos"][:, None], cache=state["cache"],
+            cache_offset=off,
+        )
+        state = dict(
+            state,
+            cache=cache,
+            kv_mask=kv_mask,
+            write_off=off + 1,
+            rot_pos=state["rot_pos"] + 1,
+            next_logits=logits_new[:, 0],
+            seen_ids=seen_ids,
+            seen_len=seen_len,
+            done=done,
+            out=out,
+            n_gen=n_gen,
+        )
+        return state, None
+
+    state, _ = jax.lax.scan(step, state, None, length=chunk)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Host scheduler
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _Pending:
+    inputs_embeds: np.ndarray     # [1, S, H]
+    attention_mask: np.ndarray    # [1, S]
+    future: object                # concurrent.futures.Future
+    submitted_at: float = 0.0
+
+
+@dataclass
+class SlotStats:
+    requests: int = 0
+    chunks: int = 0
+    admitted_mid_decode: int = 0
+    tokens: int = 0
+    admission_log: List[Tuple[int, int]] = field(default_factory=list)  # (chunk_idx, slot)
+
+
+class SlotEngine:
+    """Host scheduler over the jitted admit/decode-chunk programs.
+
+    ``submit_embeds`` enqueues a prepared (spliced, left-padded to the prompt
+    bucket) prompt; the caller receives a Future resolving to
+    ``(tokens [n_gen], n_gen)``. ``run_until_idle`` drives the loop inline
+    (tests, batch jobs); ``start``/``stop`` run it on a thread (serving).
+    """
+
+    def __init__(self, params, cfg: Qwen3Config, gen_cfg: GenerationConfig, *,
+                 num_slots: int, max_len: int, decode_chunk: int = 4) -> None:
+        self.params = params
+        self.cfg = cfg
+        self.gen_cfg = gen_cfg
+        self.num_slots = num_slots
+        self.max_len = max_len
+        self.decode_chunk = decode_chunk
+        self.state = init_slot_state(cfg, gen_cfg, num_slots, max_len)
+        self.queue: "Queue[_Pending]" = Queue()
+        self.slot_futures: List[Optional[object]] = [None] * num_slots
+        self.stats = SlotStats()
+        self._chunk_idx = 0
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._lock = threading.Lock()
+
+    # -- submission ---------------------------------------------------------
+
+    def submit_embeds(self, inputs_embeds: np.ndarray, attention_mask: np.ndarray):
+        from concurrent.futures import Future
+
+        fut: Future = Future()
+        self.queue.put(_Pending(inputs_embeds, attention_mask, fut, time.time()))
+        return fut
+
+    # -- scheduler core -----------------------------------------------------
+
+    def _free_slots(self) -> List[int]:
+        return [i for i, f in enumerate(self.slot_futures) if f is None]
+
+    def _any_active(self) -> bool:
+        return any(f is not None for f in self.slot_futures)
+
+    def _admit_pending(self) -> None:
+        was_decoding = self._any_active()
+        for slot in self._free_slots():
+            try:
+                req = self.queue.get_nowait()
+            except Empty:
+                return
+            S = req.inputs_embeds.shape[1]
+            if S > self.max_len - self.gen_cfg.max_new_tokens:
+                req.future.set_exception(
+                    ValueError(f"prompt length {S} exceeds slot budget "
+                               f"{self.max_len - self.gen_cfg.max_new_tokens}")
+                )
+                continue
+            self.state = _admit(
+                self.params, self.state, self.cfg, jnp.int32(slot),
+                jnp.asarray(req.inputs_embeds), jnp.asarray(req.attention_mask, jnp.int32),
+            )
+            self.slot_futures[slot] = req.future
+            self.stats.requests += 1
+            self.stats.admission_log.append((self._chunk_idx, slot))
+            if was_decoding:
+                self.stats.admitted_mid_decode += 1
+
+    def _deliver_finished(self) -> None:
+        done = np.asarray(self.state["done"])
+        if not any(
+            f is not None and done[i] for i, f in enumerate(self.slot_futures)
+        ):
+            return
+        out = np.asarray(self.state["out"])
+        n_gen = np.asarray(self.state["n_gen"])
+        for i, fut in enumerate(self.slot_futures):
+            if fut is None or not done[i]:
+                continue
+            n = int(n_gen[i])
+            toks = out[i, :n]
+            # trim the trailing EOS from the visible count (engine.generate's
+            # lengths semantics counts EOS; decode strips specials anyway)
+            self.stats.tokens += n
+            fut.set_result((toks.copy(), n))
+            self.slot_futures[i] = None
+            self.state = dict(
+                self.state, active=self.state["active"].at[i].set(False)
+            )
+
+    def step_once(self) -> bool:
+        """One scheduler iteration. Returns True if any work remains."""
+        with self._lock:
+            self._admit_pending()
+            if not self._any_active():
+                return not self.queue.empty()
+            self.state = _decode_chunk(
+                self.params, self.state, self.cfg, self.gen_cfg, self.decode_chunk
+            )
+            self._chunk_idx += 1
+            self.stats.chunks += 1
+            self._deliver_finished()
+            return True
+
+    def run_until_idle(self) -> None:
+        while self.step_once():
+            pass
+
+    # -- threaded serving ---------------------------------------------------
+
+    def start(self) -> None:
+        def loop():
+            while not self._stop.is_set():
+                if not self.step_once() and self.queue.empty():
+                    time.sleep(0.002)  # idle; requests arrive via submit_embeds
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)

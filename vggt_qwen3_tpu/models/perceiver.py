@@ -80,18 +80,26 @@ def apply(
     tokens: jnp.ndarray,
     *,
     rng: Optional[jax.Array] = None,
+    act_constraint=None,
 ) -> jnp.ndarray:
     """Resample ``tokens`` [B, T, in_dim] → [B, num_latents, out_dim].
 
     ``rng`` enables dropout (rate ``cfg.dropout``) for training; ``None`` = eval.
+    ``act_constraint`` (optional ``x → x``) pins the batch sharding of the
+    internal activations under pjit: the latent stream originates from a
+    *replicated* broadcast of ``params["latents"]``, so without a constraint
+    the SPMD partitioner keeps the whole perceiver batch-replicated — then the
+    backward demands replicated cotangents from the batch-sharded splice and
+    falls into involuntary full rematerialization (MULTICHIP_r02 warnings).
     """
     B = tokens.shape[0]
     D, H = cfg.latent_dim, cfg.num_heads
     hd = D // H
+    constrain = act_constraint or (lambda x: x)
 
-    context = tokens @ params["in_proj_w"] + params["in_proj_b"]  # [B, T, D]
+    context = constrain(tokens @ params["in_proj_w"] + params["in_proj_b"])  # [B, T, D]
     latents = jnp.broadcast_to(params["latents"][None], (B,) + params["latents"].shape)
-    latents = latents.astype(context.dtype)
+    latents = constrain(latents.astype(context.dtype))
 
     train = rng is not None and cfg.dropout > 0.0
 

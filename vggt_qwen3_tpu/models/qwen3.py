@@ -186,6 +186,11 @@ def forward_hidden(
             ``cache_offset + arange(S)``.
         cache: optional KV cache from :func:`init_cache`; updated copy returned.
         cache_offset: slot index where this segment's KV entries are written.
+            May be a **[B] array of per-row offsets** when ``S == 1`` — the
+            continuous-batching decode path, where every sequence sits at its
+            own depth in its cache row; writes become per-row scatters and the
+            causal constraint must then be expressed via ``attention_mask``
+            (each row's mask covers exactly its own written columns).
         prefill_padding: 'left' | 'right' — declares the prompt's padding as
             contiguous, unlocking the Pallas flash-attention prefill path
             (inference only; the kernel has no VJP). Requires
@@ -195,17 +200,29 @@ def forward_hidden(
     """
     B, S, _ = inputs_embeds.shape
     kv_len = cache["k"].shape[2] if cache is not None else S
+    # [B] cache_offset → per-row scatter decode (continuous batching)
+    per_row = getattr(cache_offset, "ndim", 0) == 1
+    if per_row:
+        assert S == 1, "per-row cache offsets require single-token decode (S=1)"
+        assert cache is not None and attention_mask is not None
 
     if positions is None:
-        positions = cache_offset + jnp.arange(S)[None, :]
-        positions = jnp.broadcast_to(positions, (B, S))
+        if per_row:
+            positions = cache_offset[:, None]
+        else:
+            positions = cache_offset + jnp.arange(S)[None, :]
+            positions = jnp.broadcast_to(positions, (B, S))
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
-    causal = make_causal_mask(S, kv_len, q_offset=cache_offset)[None, None]
     pad = None
     if attention_mask is not None:
         pad = attention_mask[:, None, None, :].astype(bool)
-    mask = combine_masks(causal, pad)
+    if per_row:
+        # the per-row key mask is the causal frontier — no triangular mask
+        mask = pad
+    else:
+        causal = make_causal_mask(S, kv_len, q_offset=cache_offset)[None, None]
+        mask = combine_masks(causal, pad)
 
     h = inputs_embeds
 
@@ -236,6 +253,18 @@ def forward_hidden(
 
         quantized_kv = "ks" in cache
 
+        rows = jnp.arange(B)
+
+        def write_kv(c, li, name, val):
+            """KV write for this layer: contiguous slice update at a scalar
+            offset, or a per-row scatter at [B] offsets (continuous-batching
+            decode — each sequence appends at its own depth)."""
+            buf = c[name]
+            if per_row:
+                return buf.at[li, rows, cache_offset].set(val[:, 0].astype(buf.dtype))
+            starts = (li, 0, cache_offset) + (0,) * (buf.ndim - 3)
+            return jax.lax.dynamic_update_slice(buf, val.astype(buf.dtype)[None], starts)
+
         def body(carry, xs):
             h, c = carry
             lp, li = xs
@@ -247,21 +276,13 @@ def forward_hidden(
                 v8, vs = _quantize_kv(v)
                 c = dict(
                     c,
-                    k=jax.lax.dynamic_update_slice(c["k"], k8[None], (li, 0, cache_offset, 0, 0)),
-                    v=jax.lax.dynamic_update_slice(c["v"], v8[None], (li, 0, cache_offset, 0, 0)),
-                    ks=jax.lax.dynamic_update_slice(c["ks"], ks[None], (li, 0, cache_offset, 0)),
-                    vs=jax.lax.dynamic_update_slice(c["vs"], vs[None], (li, 0, cache_offset, 0)),
+                    k=write_kv(c, li, "k", k8),
+                    v=write_kv(c, li, "v", v8),
+                    ks=write_kv(c, li, "ks", ks),
+                    vs=write_kv(c, li, "vs", vs),
                 )
             else:
-                c = dict(
-                    c,
-                    k=jax.lax.dynamic_update_slice(
-                        c["k"], k.astype(c["k"].dtype)[None], (li, 0, cache_offset, 0, 0)
-                    ),
-                    v=jax.lax.dynamic_update_slice(
-                        c["v"], v.astype(c["v"].dtype)[None], (li, 0, cache_offset, 0, 0)
-                    ),
-                )
+                c = dict(c, k=write_kv(c, li, "k", k), v=write_kv(c, li, "v", v))
             if use_flash:
                 attn = attend(q, k, v, causal=True, kv_start=kv_start, kv_end=kv_end)
             elif quantized_kv:

@@ -110,13 +110,15 @@ def mock_aggregator(cfg: VLMConfig, images: jnp.ndarray) -> Tuple[list, int]:
 
 
 def encode_images(
-    params: Params, cfg: VLMConfig, images: jnp.ndarray, *, rng: Optional[jax.Array] = None
+    params: Params, cfg: VLMConfig, images: jnp.ndarray, *, rng: Optional[jax.Array] = None,
+    act_constraint=None,
 ) -> jnp.ndarray:
     """[B, V, 3, H, W] in [0,1] → [B, num_vis_tokens, text_hidden].
 
     The vision tower is frozen (``freeze_vision`` default true); training wraps
     it in ``stop_gradient`` (reference uses ``@torch.no_grad`` —
-    ``vggt_qwen3_vlm.py:128``).
+    ``vggt_qwen3_vlm.py:128``). ``act_constraint`` propagates the batch
+    sharding through the projector (see :func:`perceiver.apply`).
     """
     B = images.shape[0]
     if cfg.vision_backbone == "mock":
@@ -127,7 +129,9 @@ def encode_images(
     agg = agg.reshape(B, -1, agg.shape[-1])[:, : cfg.num_vis_tokens, :]
     if cfg.freeze_vision:
         agg = jax.lax.stop_gradient(agg)
-    return perceiver.apply(params["projector"], cfg.projector, agg, rng=rng)
+    return perceiver.apply(
+        params["projector"], cfg.projector, agg, rng=rng, act_constraint=act_constraint
+    )
 
 
 def encode_geom(
@@ -236,17 +240,38 @@ def train_forward(
     labels: jnp.ndarray,
     image_token_id: int,
     rng: Optional[jax.Array] = None,
+    act_constraint=None,
 ) -> jnp.ndarray:
     """Training loss, reference semantics (``vggt_qwen3_vlm.py:179-201``):
     geom tokens (when present) are concatenated **before** visual tokens and
-    the combined span overwrites embeddings at the first ``<image>``."""
-    vis = encode_images(params, cfg, images, rng=rng)
+    the combined span overwrites embeddings at the first ``<image>``.
+
+    ``act_constraint`` (optional ``x → x``): a sharding constraint applied to
+    the batch-major activations at the model-boundary seams (spliced features,
+    logits). Under pjit, ``with_sharding_constraint`` transposes onto the
+    cotangents, pinning them batch-sharded so weight-grad dots contract the
+    batch axis locally + all-reduce — without it the SPMD partitioner tries to
+    reshard the cotangents to the TP weight layouts at a ``slice``/``pad`` and
+    falls back to "involuntary full rematerialization" (replicating the tensor
+    every step — the MULTICHIP_r02 warnings).
+    """
+    constrain = act_constraint or (lambda x: x)
+    # constrain BOTH the concat inputs and its output: the concat's backward
+    # splits the features cotangent, and the split outputs (the vis/geom
+    # cotangents) each need their own pinned sharding or the partitioner
+    # reshards them to the projector weights' TP layout via replication
+    vis = constrain(encode_images(params, cfg, images, rng=rng, act_constraint=act_constraint))
     geom_feats = encode_geom(params, cfg, geom_token)
-    features = vis if geom_feats is None else jnp.concatenate([geom_feats, vis], axis=1)
+    if geom_feats is None:
+        features = vis
+    else:
+        features = constrain(jnp.concatenate([constrain(geom_feats), vis], axis=1))
 
     embeds = qwen3.embed_tokens(params["text"], input_ids)
     embeds = splice_overwrite(embeds, input_ids, features, image_token_id)
+    embeds = constrain(embeds)
     logits, _ = qwen3.forward(
         params["text"], cfg.text, inputs_embeds=embeds, attention_mask=attention_mask
     )
+    logits = constrain(logits)
     return causal_lm_loss(logits, labels)

@@ -218,6 +218,20 @@ def make_train_step(
     """
     mcfg: VLMConfig = stage.model
 
+    # Batch-axis constraint for boundary activations: pins the backward
+    # cotangents batch-sharded (see vlm.train_forward's act_constraint doc) so
+    # the partitioner never hits "involuntary full rematerialization" on the
+    # splice/logits transpose ops.
+    act_constraint = None
+    if state_sharding is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = jax.tree.leaves(state_sharding.params)[0].mesh
+
+        def act_constraint(x):
+            spec = P(("dp", "fsdp"), *([None] * (x.ndim - 1)))
+            return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
         def loss_fn(params):
             return vlm.train_forward(
@@ -230,6 +244,7 @@ def make_train_step(
                 labels=batch["labels"],
                 image_token_id=image_token_id,
                 rng=rng,
+                act_constraint=act_constraint,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
