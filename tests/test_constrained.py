@@ -1,0 +1,193 @@
+"""Constrained action-JSON decoding tests (VERDICT r2 item 4 / BASELINE.json
+config 5). Done-criteria: 100% parseable schema-conforming actions on the
+toy/mock path; default (unconstrained) behavior bit-unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vggt_qwen3_tpu.config import QWEN3_TINY
+from vggt_qwen3_tpu.data.tokenizer import load_tokenizer
+from vggt_qwen3_tpu.inference.constrained import (
+    action_json_constraint,
+    build_action_json_dfa,
+    compile_constraint_table,
+)
+from vggt_qwen3_tpu.inference.engine import GenerationConfig, generate_text
+from vggt_qwen3_tpu.models import qwen3
+
+SCHEMA_KEYS = ["action", "scene", "center", "normal", "extent"]
+
+
+def dfa_accepts(dfa, text: str) -> bool:
+    state = 0
+    for ch in text:
+        nxt = dfa.trans[state].get(ch)
+        if nxt is None:
+            return False
+        state = nxt
+    return state in dfa.accept
+
+
+# ---------------------------------------------------------------------------
+# Character DFA
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        '{"action": "place_table", "scene": "room_01", "center": [1.0, -2.5, 0.0], '
+        '"normal": [0, 1, 0], "center_x": 0}',  # wrong key → reject below
+    ],
+)
+def test_dfa_rejects_wrong_structure(text):
+    assert not dfa_accepts(build_action_json_dfa(), text)
+
+
+def test_dfa_accepts_canonical_json_dumps():
+    dfa = build_action_json_dfa()
+    for obj in [
+        {"action": "place_table", "scene": "room_01",
+         "center": [1.0, -2.5, 0.0], "normal": [0, 1, 0], "extent": [2, 1, 0.5]},
+        {"action": "x", "scene": "", "center": [0.5e3, 1e-2, -0.0],
+         "normal": [1, 2, 3], "extent": [4, 5, 6]},
+    ]:
+        text = json.dumps(obj)
+        assert dfa_accepts(dfa, text), text
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        '{"action": "a", "scene": "s", "center": [1, 2], "normal": [0, 1, 0], "extent": [1, 1, 1]}',  # 2 elems
+        '{"scene": "s", "action": "a", "center": [1, 2, 3], "normal": [0, 1, 0], "extent": [1, 1, 1]}',  # key order
+        '{"action": "a", "scene": "s", "center": [1, 2, 3], "normal": [0, 1, 0], "extent": [1, 1, 1]',  # no close
+        '{"action": 5, "scene": "s", "center": [1, 2, 3], "normal": [0, 1, 0], "extent": [1, 1, 1]}',  # non-str
+    ],
+)
+def test_dfa_rejects_schema_violations(bad):
+    assert not dfa_accepts(build_action_json_dfa(), bad)
+
+
+# ---------------------------------------------------------------------------
+# Token table
+# ---------------------------------------------------------------------------
+
+
+def test_table_wires_eos_only_at_accept():
+    tok = load_tokenizer(None)
+    dfa = build_action_json_dfa()
+    table = compile_constraint_table(tok, dfa)
+    eos = tok.eos_token_id
+    allowed_states = {s for s in range(table.shape[0]) if table[s, eos] >= 0}
+    sink = table.shape[0] - 1
+    assert allowed_states == set(dfa.accept) | {sink}
+    # start state only admits tokens beginning the object
+    start_allowed = [i for i in range(table.shape[1]) if table[0, i] >= 0]
+    assert start_allowed == [ord("{")]  # byte tokenizer: single '{' byte
+
+
+def test_image_token_never_allowed():
+    tok = load_tokenizer(None)
+    table = compile_constraint_table(tok)
+    img = tok.convert_tokens_to_ids("<image>")
+    assert (table[:, img] < 0).all()
+
+
+# ---------------------------------------------------------------------------
+# End-to-end constrained generation: 100% parseable on random weights
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = QWEN3_TINY
+    params = qwen3.init_params(jax.random.PRNGKey(0), cfg, dtype="float32")
+    return cfg, params
+
+
+def test_constrained_generation_always_parses(model):
+    """A RANDOM-init model (worst case: near-uniform logits) still emits a
+    valid schema object every time under the constraint."""
+    cfg, params = model
+    tok = load_tokenizer(None)
+    # worst-case object ≈ 310 byte-tokens at the default value caps (see
+    # build_action_json_dfa docstring) — budget above it so the bounded
+    # grammar guarantees completion even for a degenerate argmax
+    gen_cfg = GenerationConfig(
+        max_new_tokens=340, eos_token_id=tok.eos_token_id,
+        pad_token_id=tok.pad_token_id, repetition_penalty=1.1, no_repeat_ngram=0,
+    )
+    rng = np.random.default_rng(0)
+    # QWEN3_TINY vocab (512) > ByteTokenizer vocab (258): vocab_size pads the
+    # table columns; padded ids stay forbidden (−1)
+    full = compile_constraint_table(tok, vocab_size=cfg.vocab_size)
+    ids = jnp.asarray(rng.integers(1, len(tok), (4, 12)))
+    toks, lengths = generate_text(params, cfg, gen_cfg, input_ids=ids,
+                                  attention_mask=jnp.ones_like(ids))
+    toks_c, lengths_c = generate_text(
+        params, cfg, gen_cfg, input_ids=ids,
+        attention_mask=jnp.ones_like(ids), constraint=jnp.asarray(full),
+    )
+    n_parsed = 0
+    for row, n in zip(np.asarray(toks_c), np.asarray(lengths_c)):
+        text = tok.decode(row[: int(n)], skip_special_tokens=True)
+        obj = json.loads(text)  # must parse — the done criterion
+        assert list(obj.keys()) == SCHEMA_KEYS
+        assert isinstance(obj["action"], str) and isinstance(obj["scene"], str)
+        for key in ("center", "normal", "extent"):
+            assert len(obj[key]) == 3
+            assert all(isinstance(x, (int, float)) for x in obj[key])
+        n_parsed += 1
+    assert n_parsed == 4
+    # and the UNCONSTRAINED outputs differ (random model won't emit JSON) —
+    # proving the flag changes behavior only when opted in
+    assert not np.array_equal(np.asarray(toks), np.asarray(toks_c))
+
+
+def test_arkit_cli_constrained_all_parse(tmp_path):
+    """The real ARKit CLI with --constrained_json: every raw prediction is a
+    parseable schema object, even with no_repeat_ngram=4 active (structural
+    JSON tokens repeat; grammar precedence must override the ngram ban)."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    out = tmp_path / "pred.jsonl"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "-m", "vggt_qwen3_tpu.inference.arkit",
+         "--tiny", "--mock_vision", "--config", "configs/toy.yaml",
+         "--glob", "data/toy/test.jsonl", "--max_scenes", "2",
+         "--max_new_tokens", "340", "--constrained_json",
+         "--batch_size", "2", "--output_jsonl", str(out)],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    lines = out.read_text().strip().splitlines()
+    assert len(lines) == 2
+    for line in lines:
+        obj = json.loads(json.loads(line)["raw_prediction"])
+        assert list(obj.keys()) == SCHEMA_KEYS
+
+
+def test_unconstrained_path_unchanged(model):
+    """constraint=None is the exact code path parity runs use: identical
+    tokens with and without the new argument present."""
+    cfg, params = model
+    gen_cfg = GenerationConfig(max_new_tokens=8, eos_token_id=None, pad_token_id=0)
+    ids = jnp.asarray(np.random.default_rng(1).integers(1, cfg.vocab_size, (2, 6)))
+    a, _ = generate_text(params, cfg, gen_cfg, input_ids=ids,
+                         attention_mask=jnp.ones_like(ids))
+    b, _ = generate_text(params, cfg, gen_cfg, input_ids=ids,
+                         attention_mask=jnp.ones_like(ids), constraint=None)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -58,7 +58,13 @@ def run_inference(
     output_path: Optional[Path] = None,
     compute_metrics: bool = True,
     verbose: bool = True,
+    constrained_json: bool = False,
 ) -> Tuple[List[Dict], Optional[Dict[str, float]]]:
+    """``constrained_json=True`` masks the decode to the action-JSON schema
+    FSM (``inference/constrained.py``) — every generation is a parseable
+    ``{action, scene, center, normal, extent}`` object by construction.
+    OFF by default: parity/EM runs reproduce the reference's free decode +
+    post-hoc brace extraction (``arkit_inference.py:166-179``)."""
     gen_cfg = GenerationConfig(
         max_new_tokens=max_new_tokens,
         eos_token_id=tokenizer.eos_token_id,
@@ -67,6 +73,15 @@ def run_inference(
         no_repeat_ngram=4,
         penalize_prompt=False,
     )
+    constraint = None
+    if constrained_json:
+        import jax.numpy as jnp
+
+        from .constrained import action_json_constraint
+
+        constraint = jnp.asarray(
+            action_json_constraint(tokenizer, vocab_size=stage.model.text.vocab_size)
+        )
     if output_path is not None:
         output_path.parent.mkdir(parents=True, exist_ok=True)
         output_path.write_text("", encoding="utf-8")
@@ -84,7 +99,7 @@ def run_inference(
         prompts = [f"{SYSTEM_HINT}\nInstruction: {q}\n{IMAGE_TOKEN}\n" for q in questions]
         tokens, lengths = generate_batch(
             params, stage, tokenizer, chunk, prompts, gen_cfg,
-            pad_to_len=pad_to_len, pad_to_batch=batch_size,
+            pad_to_len=pad_to_len, pad_to_batch=batch_size, constraint=constraint,
         )
 
         for j, sample in enumerate(chunk):
@@ -147,6 +162,11 @@ def main() -> None:
     p.add_argument("--data_root", default=None)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--mock_vision", action="store_true")
+    p.add_argument(
+        "--constrained_json", action="store_true",
+        help="FSM-mask the decode to the action-JSON schema (100%% parseable "
+             "outputs); off by default for reference parity",
+    )
     args = p.parse_args()
 
     stage = build_stage(args)
@@ -161,6 +181,7 @@ def main() -> None:
         max_new_tokens=args.max_new_tokens,
         batch_size=args.batch_size,
         output_path=Path(args.output_jsonl) if args.output_jsonl else None,
+        constrained_json=args.constrained_json,
     )
     print(f"total {time.time()-t0:.1f}s")
 

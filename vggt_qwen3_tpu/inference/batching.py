@@ -48,7 +48,7 @@ def stack_views(samples: List[Dict], image_size: int) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("model_cfg", "gen_cfg", "image_token_id"))
 def _vision_splice_generate(
-    params, model_cfg, gen_cfg, image_token_id, images, ids, mask
+    params, model_cfg, gen_cfg, image_token_id, images, ids, mask, constraint=None
 ):
     """The full query as ONE compiled program: VGGT → Perceiver → embed →
     splice → prefill → scan decode. Fusing these (instead of dispatching
@@ -60,7 +60,7 @@ def _vision_splice_generate(
     embeds, mask2 = vlm.splice_expand(embeds, mask, ids, vis, image_token_id)
     return generate(
         params["text"], model_cfg.text, gen_cfg,
-        inputs_embeds=embeds, attention_mask=mask2,
+        inputs_embeds=embeds, attention_mask=mask2, constraint=constraint,
     )
 
 
@@ -74,11 +74,13 @@ def generate_batch(
     *,
     pad_to_len: int,
     pad_to_batch: Optional[int] = None,
+    constraint: Optional[jnp.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Run one spliced-prompt generation batch.
 
     Returns (tokens [n, max_new], lengths [n]) for the n REAL samples —
-    batch-padding rows are trimmed before returning.
+    batch-padding rows are trimmed before returning. ``constraint``: optional
+    FSM table for schema-constrained decode (``inference/constrained.py``).
     """
     n = len(samples)
     if pad_to_batch and n < pad_to_batch:
@@ -92,6 +94,6 @@ def generate_batch(
 
     image_token_id = tokenizer.convert_tokens_to_ids(IMAGE_TOKEN)
     tokens, lengths = _vision_splice_generate(
-        params, stage.model, gen_cfg, image_token_id, images, ids, mask
+        params, stage.model, gen_cfg, image_token_id, images, ids, mask, constraint
     )
     return np.asarray(tokens)[:n], np.asarray(lengths)[:n]

@@ -58,6 +58,7 @@ def generate(
     inputs_embeds: jnp.ndarray,
     attention_mask: jnp.ndarray,
     prompt_ids: Optional[jnp.ndarray] = None,
+    constraint: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy generation.
 
@@ -67,6 +68,10 @@ def generate(
         attention_mask: [B, S] 1 = valid prompt position (left padding ok).
         prompt_ids: [B, S] ids backing the prompt; only consulted when
             ``gen_cfg.penalize_prompt`` (text-only ARKit fallback path).
+        constraint: optional FSM transition table [num_states, vocab] int32
+            (``inference/constrained.py``): each step masks logits to tokens
+            with ``constraint[state] >= 0`` and advances the per-row state —
+            grammar/schema-constrained decoding at one table lookup per token.
     Returns:
         (tokens [B, max_new_tokens] int32 — pad-filled after EOS,
          lengths [B] int32 — number of generated tokens incl. EOS)
@@ -108,11 +113,24 @@ def generate(
         write_at = seen_len
 
     done = jnp.zeros((B,), bool)
+    fsm_state = jnp.zeros((B,), jnp.int32)  # carried only when constrained
 
     def step(carry, t):
-        cache, mask, next_logits, next_pos, seen_ids, seen_len, done = carry
+        cache, mask, next_logits, next_pos, seen_ids, seen_len, done, fsm_state = carry
         logits = _processors(next_logits, seen_ids, seen_len, gen_cfg)
+        if constraint is not None:
+            allowed = constraint[fsm_state] >= 0  # [B, V]
+            cand = jnp.where(allowed, logits, -jnp.inf)
+            # structural JSON tokens necessarily repeat (", ", ": [", …), so
+            # no-repeat-ngram can ban EVERY grammar-legal token; grammar takes
+            # precedence — such rows fall back to the unprocessed logits
+            feasible = jnp.isfinite(cand).any(axis=-1, keepdims=True)
+            raw_cand = jnp.where(allowed, next_logits, -jnp.inf)
+            logits = jnp.where(feasible, cand, raw_cand)
         tok = greedy_token(logits)
+        if constraint is not None:
+            nxt = constraint[fsm_state, tok]
+            fsm_state = jnp.where(done, fsm_state, jnp.maximum(nxt, 0))
         out_tok = jnp.where(done, gen_cfg.pad_token_id, tok)
         if gen_cfg.eos_token_id is not None:
             done_next = done | (tok == gen_cfg.eos_token_id)
@@ -129,10 +147,10 @@ def generate(
             params, cfg, inputs_embeds=emb, attention_mask=mask,
             positions=(next_pos + t)[:, None], cache=cache, cache_offset=S + t,
         )
-        carry = (cache, mask, logits_new[:, 0], next_pos, seen_ids, seen_len, done_next)
+        carry = (cache, mask, logits_new[:, 0], next_pos, seen_ids, seen_len, done_next, fsm_state)
         return carry, out_tok
 
-    carry = (cache, mask, next_logits, next_pos, seen_ids, seen_len, done)
+    carry = (cache, mask, next_logits, next_pos, seen_ids, seen_len, done, fsm_state)
     _, toks = jax.lax.scan(step, carry, jnp.arange(N))
     tokens = jnp.transpose(toks, (1, 0))  # [B, N]
 
@@ -153,6 +171,7 @@ def generate_text(
     *,
     input_ids: jnp.ndarray,
     attention_mask: Optional[jnp.ndarray] = None,
+    constraint: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Text-only convenience wrapper (embeds looked up from ids)."""
     if attention_mask is None:
@@ -161,4 +180,5 @@ def generate_text(
     return generate(
         params, cfg, gen_cfg,
         inputs_embeds=embeds, attention_mask=attention_mask, prompt_ids=input_ids,
+        constraint=constraint,
     )
