@@ -16,7 +16,8 @@ mode (int8×int8 MXU dots, ~1.5× faster) but its EM delta on real weights is
 unverified (`evals/baseline.py --compare_quant --quant_mode w8a8`) — it is
 deliberately NOT the published headline until that gate clears.
 Modes: BENCH_MODE=e2e (query latency), =qa (pipeline samples/s),
-=train (stage-1 recipe step time / tokens/s / MFU).
+=train (stage-1 recipe step time / tokens/s / MFU), =serve (slot-engine
+continuous-batching requests/s).
 
 Timing note: this environment's tunneled TPU backend does not synchronize on
 ``block_until_ready`` — only host fetches synchronize — so timing fetches the
@@ -332,6 +333,83 @@ def train_mode() -> None:
     )
 
 
+def serve_mode() -> None:
+    """BENCH_MODE=serve: token-level continuous-batching served throughput
+    (VERDICT r2 item 3 measurement). Text-only workload isolating the slot
+    engine: BENCH_SERVE_REQS requests (default 64) of prompt 32 → 32 greedy
+    tokens each, submitted all at once against BENCH_SLOTS KV slots (default
+    16, decode_chunk 4) — the engine admits as slots free, so the run
+    exercises steady-state mid-decode admission. Reports requests/s; stderr
+    carries tok/s, chunk count, and mid-decode admissions. Note: every chunk
+    costs one host round-trip (~30 ms on this tunneled backend) for the
+    done-flag fetch — on-prem serving would not pay that."""
+    import jax
+    import jax.numpy as jnp
+
+    from vggt_qwen3_tpu.config import QWEN3_4B_INSTRUCT_2507, QWEN3_TINY
+    from vggt_qwen3_tpu.inference.engine import GenerationConfig
+    from vggt_qwen3_tpu.inference.slots import SlotEngine
+    from vggt_qwen3_tpu.models import qwen3
+
+    tiny = os.environ.get("BENCH_TINY") == "1"
+    cfg = QWEN3_TINY if tiny else QWEN3_4B_INSTRUCT_2507
+    n_req = int(os.environ.get("BENCH_SERVE_REQS", "8" if tiny else "64"))
+    slots = int(os.environ.get("BENCH_SLOTS", "4" if tiny else "16"))
+    prompt_len, new_tokens = (8, 8) if tiny else (32, 32)
+
+    params = qwen3.init_params(jax.random.PRNGKey(0), cfg, dtype=cfg.dtype)
+    wq = _text_quant_mode()
+    if wq != "none" and not tiny:
+        params = qwen3.quantize_params(params, mode=wq)
+    gen_cfg = GenerationConfig(
+        max_new_tokens=new_tokens, eos_token_id=None, pad_token_id=0,
+        kv_dtype=None if tiny else "int8",
+    )
+    eng = SlotEngine(params, cfg, gen_cfg, num_slots=slots,
+                     max_len=prompt_len + new_tokens, decode_chunk=4)
+
+    rng = np.random.default_rng(0)
+    prompts = []
+    for i in range(n_req):
+        ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (1, prompt_len)))
+        emb = np.asarray(qwen3.embed_tokens(params, ids))
+        prompts.append((emb, np.ones((1, prompt_len), np.int32)))
+
+    # warmup: compile admit + decode-chunk once
+    fut = eng.submit_embeds(*prompts[0])
+    eng.run_until_idle()
+    fut.result(timeout=60)
+    eng.stats.requests = eng.stats.chunks = eng.stats.tokens = 0
+    eng.stats.admitted_mid_decode = 0
+    eng.stats.admission_log.clear()
+
+    t0 = time.time()
+    futs = [eng.submit_embeds(e, m) for e, m in prompts]
+    eng.run_until_idle()
+    for f in futs:
+        f.result(timeout=120)
+    dt = time.time() - t0
+    rps = n_req / dt
+    print(
+        f"serve: {n_req} reqs × {new_tokens} tok over {slots} slots in {dt:.2f}s "
+        f"→ {rps:.2f} req/s, {eng.stats.tokens/dt:.0f} served tok/s, "
+        f"{eng.stats.chunks} chunks, {eng.stats.admitted_mid_decode} mid-decode admissions",
+        file=sys.stderr, flush=True,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "served_requests_per_sec",
+                "value": round(rps, 2),
+                # north star <200 ms/query ⇒ 5 qps reference point
+                "unit": "req/s",
+                "vs_baseline": round(rps / 5.0, 3),
+            }
+        ),
+        flush=True,
+    )
+
+
 def _kv_dtype(tiny: bool):
     if tiny:
         return None
@@ -353,6 +431,8 @@ def main() -> None:
         return qa_mode()
     if os.environ.get("BENCH_MODE") == "train":
         return train_mode()
+    if os.environ.get("BENCH_MODE") == "serve":
+        return serve_mode()
 
     tiny = os.environ.get("BENCH_TINY") == "1"
     cfg = QWEN3_TINY if tiny else QWEN3_4B_INSTRUCT_2507
