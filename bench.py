@@ -217,19 +217,29 @@ def train_mode() -> None:
                                             num_heads=4, num_layers=2, ffn_dim=128),
             num_vis_tokens=16, dtype="float32",
         )
-    B = int(os.environ.get("BENCH_TRAIN_BATCH", "2" if tiny else "6"))
+    B_target = int(os.environ.get("BENCH_TRAIN_BATCH", "2" if tiny else "6"))
     V = int(os.environ.get("BENCH_TRAIN_VIEWS", "2" if tiny else "8"))
     S = 56 if tiny else stage.data.image_size          # 448
     T = 64 if tiny else stage.data.max_length          # 512
     accum = stage.train.grad_accum                     # 32
 
-    params = vlm.init_params(jax.random.PRNGKey(0), mcfg, dtype=mcfg.dtype)
-    if stage.lora.enable:
-        from vggt_qwen3_tpu.models import qwen3 as qwen3_mod
+    # ONE jitted init program: eager init dispatches ~40 separate
+    # random-normal compiles through the tunnel helper (~30 min wall);
+    # fused it is a single compile.
+    def init_all(key):
+        p = vlm.init_params(key, mcfg, dtype=mcfg.dtype)
+        if stage.lora.enable:
+            from vggt_qwen3_tpu.models import qwen3 as qwen3_mod
 
-        params["text"] = qwen3_mod.add_lora(
-            params["text"], mcfg.text, stage.lora, jax.random.PRNGKey(7)
-        )
+            p["text"] = qwen3_mod.add_lora(
+                p["text"], mcfg.text, stage.lora, jax.random.fold_in(key, 7)
+            )
+        return p
+
+    t0 = time.time()
+    params = jax.jit(init_all)(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    print(f"init: {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
 
     # trainable = LoRA adapters + projector + geom head; everything else
     # closes over as frozen (grads never allocated for the 4B base / VGGT)
@@ -243,53 +253,73 @@ def train_mode() -> None:
     frozen = params
 
     img_id = mcfg.text.vocab_size - 1
-    rngnp = np.random.default_rng(0)
-    images = jnp.asarray(rngnp.uniform(0, 1, (B, V, 3, S, S)), mcfg.dtype)
-    ids = rngnp.integers(1, mcfg.text.vocab_size, (B, T))
-    ids[:, 4] = img_id
-    input_ids = jnp.asarray(ids)
-    mask = jnp.ones((B, T), jnp.int32)
-    labels = jnp.asarray(np.where(np.arange(T)[None] < 8, -100, ids))
-    geom = {
-        "R": jnp.asarray(rngnp.normal(size=(B, V, 9)), jnp.float32),
-        "t": jnp.asarray(rngnp.normal(size=(B, V, 3)), jnp.float32),
-        "K": jnp.asarray(rngnp.normal(size=(B, V, 9)), jnp.float32),
-        "depth_hist": jnp.asarray(rngnp.normal(size=(B, V, 16)), jnp.float32),
-        "mask": jnp.ones((B,), bool),
-    }
 
-    def loss_fn(trainable, frozen, rng):
-        p = dict(frozen)
-        p["projector"] = trainable["projector"]
-        p["geom"] = trainable["geom"]
-        if "lora" in trainable:
-            text = dict(p["text"])
-            text["layers"] = dict(text["layers"], lora=trainable["lora"])
-            p["text"] = text
-        return vlm.train_forward(
-            p, mcfg, images=images, geom_token=geom, input_ids=input_ids,
-            attention_mask=mask, labels=labels, image_token_id=img_id, rng=rng,
-        )
+    def measure(B: int) -> float:
+        """Per-microbatch fwd+bwd seconds at batch B (compile + 3 reps)."""
+        rngnp = np.random.default_rng(0)
+        images = jnp.asarray(rngnp.uniform(0, 1, (B, V, 3, S, S)), mcfg.dtype)
+        ids = rngnp.integers(1, mcfg.text.vocab_size, (B, T))
+        ids[:, 4] = img_id
+        input_ids = jnp.asarray(ids)
+        mask = jnp.ones((B, T), jnp.int32)
+        labels = jnp.asarray(np.where(np.arange(T)[None] < 8, -100, ids))
+        geom = {
+            "R": jnp.asarray(rngnp.normal(size=(B, V, 9)), jnp.float32),
+            "t": jnp.asarray(rngnp.normal(size=(B, V, 3)), jnp.float32),
+            "K": jnp.asarray(rngnp.normal(size=(B, V, 9)), jnp.float32),
+            "depth_hist": jnp.asarray(rngnp.normal(size=(B, V, 16)), jnp.float32),
+            "mask": jnp.ones((B,), bool),
+        }
 
-    grad_step = jax.jit(jax.value_and_grad(loss_fn))
+        def loss_fn(trainable, frozen, rng):
+            p = dict(frozen)
+            p["projector"] = trainable["projector"]
+            p["geom"] = trainable["geom"]
+            if "lora" in trainable:
+                text = dict(p["text"])
+                text["layers"] = dict(text["layers"], lora=trainable["lora"])
+                p["text"] = text
+            return vlm.train_forward(
+                p, mcfg, images=images, geom_token=geom, input_ids=input_ids,
+                attention_mask=mask, labels=labels, image_token_id=img_id, rng=rng,
+            )
 
-    t0 = time.time()
-    loss, grads = grad_step(trainable, frozen, jax.random.PRNGKey(1))
-    lval = float(np.asarray(loss))
-    print(f"compile+warmup: {time.time()-t0:.1f}s loss={lval:.3f}", file=sys.stderr, flush=True)
-    assert np.isfinite(lval)
-
-    times = []
-    for i in range(3):
+        grad_step = jax.jit(jax.value_and_grad(loss_fn))
         t0 = time.time()
-        loss, grads = grad_step(trainable, frozen, jax.random.PRNGKey(2 + i))
-        np.asarray(loss)  # host fetch forces execution on this backend
-        times.append(time.time() - t0)
-    micro_s = min(times)
+        loss, grads = grad_step(trainable, frozen, jax.random.PRNGKey(1))
+        lval = float(np.asarray(loss))
+        print(f"B={B} compile+warmup: {time.time()-t0:.1f}s loss={lval:.3f}",
+              file=sys.stderr, flush=True)
+        assert np.isfinite(lval)
+        times = []
+        for i in range(3):
+            t0 = time.time()
+            loss, grads = grad_step(trainable, frozen, jax.random.PRNGKey(2 + i))
+            np.asarray(loss)  # host fetch forces execution on this backend
+            times.append(time.time() - t0)
+        del grads
+        return min(times)
+
+    # the stage-1 microbatch (B=6) sits right at the single-chip HBM edge
+    # (weights 12.3 GB + trainable grads 2.5 GB leave <1 GB for activations);
+    # on OOM, step B down and project per-sample — stated in the output.
+    B = B_target
+    micro_s = None
+    while B >= 1:
+        try:
+            micro_s = measure(B)
+            break
+        except Exception as e:  # noqa: BLE001
+            if "RESOURCE_EXHAUSTED" not in str(e) and "Ran out of memory" not in str(e):
+                raise
+            print(f"B={B} OOM on one chip — retrying B={B-1}", file=sys.stderr, flush=True)
+            B -= 1
+    assert micro_s is not None, "even B=1 OOMed"
+    micro_s = micro_s * (B_target / B)  # per-sample projection to the recipe B
 
     # analytic bound for the excluded AdamW update (runs once per accum steps):
     # read+write bf16 trainable weights & grads + f32 mu/nu ≈ 16 bytes/param.
-    n_train = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(grads))
+    n_train = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(trainable))
     hbm_gbs = 500e9  # measured effective HBM bandwidth on this chip
     update_s = 16 * n_train / hbm_gbs
     step_s = accum * micro_s + update_s
@@ -299,12 +329,12 @@ def train_mode() -> None:
     n_text = 4.02e9
     n_vis = 0.91e9
     n_proj = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(trainable["projector"]))
-    vis_tokens = B * V * (1 + 4 + (S // 14) ** 2)
-    text_tokens = B * T
+    vis_tokens = B_target * V * (1 + 4 + (S // 14) ** 2)
+    text_tokens = B_target * T
     flops = (
         2 * n_vis * vis_tokens            # frozen vision fwd
         + 6 * n_text * text_tokens        # text fwd + full activation bwd
-        + 6 * n_proj * B * mcfg.projector.num_latents
+        + 6 * n_proj * B_target * mcfg.projector.num_latents
     )
     if tiny:
         flops = 1.0  # MFU meaningless on toy dims
@@ -312,7 +342,7 @@ def train_mode() -> None:
     mfu = flops / micro_s / peak
     tok_s = accum * text_tokens / step_s
     print(
-        f"micro={micro_s*1000:.0f} ms (B={B} V={V} {S}px T={T}) step={step_s:.1f}s "
+        f"micro={micro_s*1000:.0f} ms (recipe B={B_target}, measured B={B}, V={V} {S}px T={T}) step={step_s:.1f}s "
         f"(accum {accum} + update {update_s*1000:.0f} ms analytic) "
         f"text tok/s={tok_s:.0f} MFU={mfu*100:.1f}% "
         f"30k steps ≈ {step_s*30000/3600:.1f} h/chip-equivalent; v5e-8 dp8 ≈ same "
@@ -410,6 +440,104 @@ def serve_mode() -> None:
     )
 
 
+def ring_mode() -> None:
+    """BENCH_MODE=ring: on-chip evidence for the >16-view ring-attention path
+    (VERDICT r2 item 9). Three measurements at the 32-view VGGT global-
+    attention shape ([1, 32·1029 ≈ 32.9k tokens, 16 heads, 64 dim], bf16),
+    all with the REAL Pallas kernel (interpret=False):
+
+    1. direct flash forward — the single-chip baseline + timing,
+    2. the ring lse-merge math executed on chip: two half-sequence
+       flash_attention_with_lse calls merged with the exact ring combine
+       (what every ring stage computes), vs the direct result,
+    3. ring_attention_sharded on a 1-device mesh — the real shard_map +
+       ppermute + scan program compiled and run on TPU.
+
+    Multi-device numerics are covered on the virtual CPU mesh
+    (tests/test_ring_attention.py); this attaches TPU-hardware numbers to
+    the same code path. BENCH_RING_VIEWS (default 32) scales the shape."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from vggt_qwen3_tpu.ops.flash_attention import (
+        NEG_INF,
+        flash_attention,
+        flash_attention_with_lse,
+    )
+    from vggt_qwen3_tpu.ops.ring_attention import ring_attention_sharded
+
+    tiny = os.environ.get("BENCH_TINY") == "1"
+    views = int(os.environ.get("BENCH_RING_VIEWS", "2" if tiny else "32"))
+    tokens_per_view = 36 if tiny else 1029
+    T = views * tokens_per_view
+    NH, D = (4, 16) if tiny else (16, 64)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(1, T, NH, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(1, T, NH, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(1, T, NH, D)), jnp.bfloat16)
+    interp = jax.default_backend() != "tpu"
+
+    # 1. direct flash
+    direct = flash_attention(q, k, v, interpret=interp)
+    np.asarray(direct)
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        out = flash_attention(q, k, v, interpret=interp)
+        np.asarray(out[0, :8])  # tiny fetch forces execution
+        times.append(time.time() - t0)
+    flash_ms = min(times) * 1000
+
+    # 2. two-chunk lse merge (the per-stage ring combine) on chip
+    @jax.jit
+    def two_chunk(q, k, v):
+        h = k.shape[1] // 2
+        o1, l1 = flash_attention_with_lse(q, k[:, :h], v[:, :h], interpret=interp)
+        o2, l2 = flash_attention_with_lse(q, k[:, h:], v[:, h:], interpret=interp)
+        lses = jnp.stack([l1, l2])
+        outs = jnp.stack([o1, o2])
+        lse_max = jnp.max(lses, axis=0)
+        w = jnp.exp(lses - jnp.where(lse_max <= NEG_INF * 0.5, 0.0, lse_max))
+        w = w / jnp.maximum(jnp.sum(w, axis=0), 1e-30)
+        w = jnp.moveaxis(w, (1, 2, 3), (1, 3, 2))
+        return jnp.sum(outs.astype(jnp.float32) * w[..., None], axis=0).astype(q.dtype)
+
+    merged = two_chunk(q, k, v)
+    diff_merge = float(
+        jnp.max(jnp.abs(merged.astype(jnp.float32) - direct.astype(jnp.float32)))
+    )
+
+    # 3. the real shard_map ring program on a 1-device mesh
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1), ("seq",))
+    ring = ring_attention_sharded(q, k, v, mesh, axis_name="seq", interpret=interp)
+    diff_ring = float(
+        jnp.max(jnp.abs(ring.astype(jnp.float32) - direct.astype(jnp.float32)))
+    )
+
+    scale_ref = float(jnp.max(jnp.abs(direct.astype(jnp.float32))))
+    print(
+        f"ring: {views} views ({T} tokens) flash fwd {flash_ms:.2f} ms; "
+        f"2-chunk lse-merge max|Δ| {diff_merge:.2e}, shard_map ring max|Δ| "
+        f"{diff_ring:.2e} (output scale {scale_ref:.2f})",
+        file=sys.stderr, flush=True,
+    )
+    ok = diff_merge < 0.05 * scale_ref and diff_ring < 0.05 * scale_ref
+    print(
+        json.dumps(
+            {
+                "metric": "ring_32view_flash_ms",
+                "value": round(flash_ms, 2),
+                "unit": "ms",
+                "vs_baseline": 1.0 if ok else 0.0,
+            }
+        ),
+        flush=True,
+    )
+    if not ok:
+        raise SystemExit("ring/flash consistency out of tolerance")
+
+
 def _kv_dtype(tiny: bool):
     if tiny:
         return None
@@ -433,6 +561,8 @@ def main() -> None:
         return train_mode()
     if os.environ.get("BENCH_MODE") == "serve":
         return serve_mode()
+    if os.environ.get("BENCH_MODE") == "ring":
+        return ring_mode()
 
     tiny = os.environ.get("BENCH_TINY") == "1"
     cfg = QWEN3_TINY if tiny else QWEN3_4B_INSTRUCT_2507

@@ -34,6 +34,7 @@ def test_byte_golden_reproduces_exactly():
         "tests/fixtures/tokenizer_golden_byte.json"
     )
     golden = json.loads(BYTE_GOLDEN.read_text())
+    golden.pop("tokenizer_dir", None)  # recorder metadata, not tokenizer surface
     now = rec.record(load_tokenizer(None))
     assert now == golden
 

@@ -120,6 +120,8 @@ def main() -> None:
 
     tok = load_tokenizer(args.tokenizer)
     golden = record(tok)
+    # recorded so tests/test_tokenizer_golden.py can reload the same files
+    golden["tokenizer_dir"] = args.tokenizer
     args.out.parent.mkdir(parents=True, exist_ok=True)
     args.out.write_text(json.dumps(golden, ensure_ascii=False, indent=1))
     print(

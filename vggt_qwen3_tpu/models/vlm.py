@@ -229,6 +229,63 @@ def causal_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return total / count
 
 
+def causal_lm_loss_chunked(
+    text_params,
+    text_cfg,
+    hidden: jnp.ndarray,
+    labels: jnp.ndarray,
+    *,
+    chunk: int = 128,
+    act_constraint=None,
+) -> jnp.ndarray:
+    """Memory-efficient CE: LM head + softmax evaluated ``chunk`` sequence
+    positions at a time inside a rematerialized ``lax.scan``.
+
+    The naive path materializes fp32 logits [B, T, V] (plus softmax and
+    cotangent copies) — at the stage-1 recipe shape (B=6, T=512, V=151,936)
+    that is ~1.8 GB × 3, the allocation that pushed the single-chip train
+    step out of HBM. Here the peak is one [B, chunk, V] chunk; the
+    ``jax.checkpoint`` on the body recomputes each chunk's logits in the
+    backward instead of storing them. Same math as :func:`causal_lm_loss`
+    (fp32 accumulation; summation order differs only across chunks).
+
+    ``hidden`` is the POST-final-norm hidden state ([B, T, H], e.g. from
+    ``qwen3.forward_hidden``); the labels shift happens here.
+    """
+    B, T, H = hidden.shape
+    hs = hidden[:, :-1]
+    targets = labels[:, 1:]
+    n = T - 1
+    pad = (-n) % chunk
+    if pad:
+        hs = jnp.concatenate([hs, jnp.zeros((B, pad, H), hs.dtype)], axis=1)
+        targets = jnp.concatenate(
+            [targets, jnp.full((B, pad), -100, targets.dtype)], axis=1
+        )
+    n_chunks = (n + pad) // chunk
+    hs = hs.reshape(B, n_chunks, chunk, H).transpose(1, 0, 2, 3)
+    tg = targets.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+    constrain = act_constraint or (lambda x: x)
+
+    @jax.checkpoint
+    def body(carry, xs):
+        total, count = carry
+        h_c, t_c = xs
+        logits = constrain(qwen3.lm_logits(text_params, text_cfg, h_c))  # [B, c, V] f32
+        valid = t_c != -100
+        safe = jnp.where(valid, t_c, 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[:, :, None], axis=-1)[:, :, 0]
+        total = total + jnp.where(valid, nll, 0.0).sum()
+        count = count + valid.sum()
+        return (total, count), None
+
+    (total, count), _ = jax.lax.scan(
+        body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)), (hs, tg)
+    )
+    return total / jnp.maximum(count, 1)
+
+
 def train_forward(
     params: Params,
     cfg: VLMConfig,
@@ -270,8 +327,12 @@ def train_forward(
     embeds = qwen3.embed_tokens(params["text"], input_ids)
     embeds = splice_overwrite(embeds, input_ids, features, image_token_id)
     embeds = constrain(embeds)
-    logits, _ = qwen3.forward(
-        params["text"], cfg.text, inputs_embeds=embeds, attention_mask=attention_mask
+    hidden, _ = qwen3.forward_hidden(
+        params["text"], cfg.text, embeds, attention_mask=attention_mask
     )
-    logits = constrain(logits)
-    return causal_lm_loss(logits, labels)
+    hidden = constrain(hidden)
+    # chunked CE: never materializes the [B, T, V] fp32 logits (see
+    # causal_lm_loss_chunked — the stage-1 shape OOMs a 16 GB chip otherwise)
+    return causal_lm_loss_chunked(
+        params["text"], cfg.text, hidden, labels, act_constraint=act_constraint
+    )
