@@ -288,6 +288,10 @@ def train_mode() -> None:
         t0 = time.time()
         loss, grads = grad_step(trainable, frozen, jax.random.PRNGKey(1))
         lval = float(np.asarray(loss))
+        # free the 2.5 GB grads BEFORE the next call allocates its own —
+        # holding both doubles the trainable-grad footprint and OOMs shapes
+        # that otherwise fit (measured: B=2 warmup passed, timed rep OOMed)
+        del grads, loss
         print(f"B={B} compile+warmup: {time.time()-t0:.1f}s loss={lval:.3f}",
               file=sys.stderr, flush=True)
         assert np.isfinite(lval)
@@ -296,25 +300,25 @@ def train_mode() -> None:
             t0 = time.time()
             loss, grads = grad_step(trainable, frozen, jax.random.PRNGKey(2 + i))
             np.asarray(loss)  # host fetch forces execution on this backend
+            del grads, loss
             times.append(time.time() - t0)
-        del grads
         return min(times)
 
-    # the stage-1 microbatch (B=6) sits right at the single-chip HBM edge
-    # (weights 12.3 GB + trainable grads 2.5 GB leave <1 GB for activations);
-    # on OOM, step B down and project per-sample — stated in the output.
-    B = B_target
-    micro_s = None
-    while B >= 1:
-        try:
-            micro_s = measure(B)
-            break
-        except Exception as e:  # noqa: BLE001
-            if "RESOURCE_EXHAUSTED" not in str(e) and "Ran out of memory" not in str(e):
-                raise
-            print(f"B={B} OOM on one chip — retrying B={B-1}", file=sys.stderr, flush=True)
-            B -= 1
-    assert micro_s is not None, "even B=1 OOMed"
+    # The stage-1 microbatch (B=6) sits right at the single-chip HBM edge
+    # (weights 12.3 GB + trainable grads 2.5 GB leave <1 GB for activations).
+    # On OOM, re-exec with B−1 in a FRESH process (failed executions leave
+    # buffers that poison in-process retries) and project per-sample.
+    B = int(os.environ.get("_BENCH_TRAIN_B_ACTUAL", str(B_target)))
+    try:
+        micro_s = measure(B)
+    except Exception as e:  # noqa: BLE001
+        is_oom = "RESOURCE_EXHAUSTED" in str(e) or "Ran out of memory" in str(e)
+        if not is_oom or B <= 1:
+            raise
+        print(f"B={B} OOM on one chip — re-exec with B={B-1}", file=sys.stderr, flush=True)
+        os.environ["_BENCH_TRAIN_B_ACTUAL"] = str(B - 1)
+        os.environ["BENCH_RETRIED"] = "0"  # OOM fallback ≠ transient retry budget
+        os.execv(sys.executable, [sys.executable] + sys.argv)
     micro_s = micro_s * (B_target / B)  # per-sample projection to the recipe B
 
     # analytic bound for the excluded AdamW update (runs once per accum steps):
