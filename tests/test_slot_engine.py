@@ -130,6 +130,104 @@ def test_eos_frees_slot_and_reuse(setup):
         np.testing.assert_array_equal(toks[:ref_len], ref_toks[:ref_len])
 
 
+def test_per_request_budget(setup):
+    """Requests carry their own max_new_tokens (≤ engine max): each stops at
+    its budget with a token-exact prefix of the solo run, staggered finishes
+    recycle slots mid-decode, and an out-of-range budget is rejected."""
+    cfg, params = setup
+    gen_cfg = GenerationConfig(max_new_tokens=16, eos_token_id=None, pad_token_id=0,
+                               repetition_penalty=1.1)
+    eng = SlotEngine(params, cfg, gen_cfg, num_slots=2, max_len=48, decode_chunk=2)
+
+    budgets = [4, 16, 7, 10]
+    futs, refs = [], []
+    for seed, b in enumerate(budgets):
+        ids, mask = _prompt(cfg, 30 + seed, S=8, bucket=16)
+        emb = np.asarray(qwen3.embed_tokens(params, jnp.asarray(ids)))
+        futs.append(eng.submit_embeds(emb, mask, max_new_tokens=b))
+        refs.append(_ref_generate(params, cfg, gen_cfg, ids, mask))
+    eng.run_until_idle()
+    for fut, b, (ref_toks, _) in zip(futs, budgets, refs):
+        toks, n = fut.result(timeout=1)
+        assert n == b
+        np.testing.assert_array_equal(toks, ref_toks[:b])
+    # budgets 4 vs 16 on the first two slots: slot 0 frees while slot 1 is
+    # still decoding, so at least one later request was admitted mid-decode
+    assert eng.stats.admitted_mid_decode >= 1
+
+    bad = eng.submit_embeds(
+        np.zeros((1, 16, cfg.hidden_size), np.float32), np.ones((1, 16), np.int32),
+        max_new_tokens=17,
+    )
+    with pytest.raises(ValueError):
+        bad.result(timeout=1)
+
+
+def test_lagged_snapshot_never_misdelivers_reused_slot(setup):
+    """Delivery runs one chunk behind the device (latency-hiding pipeline).
+    A slot that finishes, is delivered, and is immediately re-admitted must
+    NOT have its new future resolved from the previous occupant's lagged
+    done-flag — budgets shorter than one chunk make every admission finish
+    within its first chunk, the worst case for staleness."""
+    cfg, params = setup
+    gen_cfg = GenerationConfig(max_new_tokens=8, eos_token_id=None, pad_token_id=0,
+                               repetition_penalty=1.1)
+    eng = SlotEngine(params, cfg, gen_cfg, num_slots=1, max_len=32, decode_chunk=4)
+    futs, refs = [], []
+    for seed in range(4):
+        ids, mask = _prompt(cfg, 50 + seed, S=6, bucket=8)
+        emb = np.asarray(qwen3.embed_tokens(params, jnp.asarray(ids)))
+        futs.append(eng.submit_embeds(emb, mask, max_new_tokens=2))
+        refs.append(_ref_generate(params, cfg, gen_cfg, ids, mask))
+    eng.run_until_idle()
+    for fut, (ref_toks, _) in zip(futs, refs):
+        toks, n = fut.result(timeout=1)
+        assert n == 2
+        np.testing.assert_array_equal(toks, ref_toks[:2])
+
+
+def test_prefix_cache_token_exact(setup):
+    """Shared-prefix KV reuse (system-prompt caching): registering a dense
+    prefix and submitting only the suffix yields tokens identical to
+    submitting the full prompt — including a left-padded suffix, and across
+    multiple requests reusing the same stashed prefix row."""
+    cfg, params = setup
+    gen_cfg = GenerationConfig(max_new_tokens=8, eos_token_id=None, pad_token_id=0,
+                               repetition_penalty=1.1)
+    eng = SlotEngine(params, cfg, gen_cfg, num_slots=2, max_len=48, decode_chunk=2)
+
+    rng = np.random.default_rng(7)
+    prefix_ids = rng.integers(1, cfg.vocab_size, (1, 6))
+    pid = eng.register_prefix(
+        np.asarray(qwen3.embed_tokens(params, jnp.asarray(prefix_ids))))
+
+    futs, refs = [], []
+    for seed, pad in ((0, 0), (1, 3)):  # dense suffix and left-padded suffix
+        suf_ids = np.random.default_rng(40 + seed).integers(1, cfg.vocab_size, (1, 7))
+        suf_full = np.concatenate([np.zeros((1, pad), np.int64), suf_ids], axis=1)
+        suf_mask = np.concatenate(
+            [np.zeros((1, pad), np.int32), np.ones((1, 7), np.int32)], axis=1)
+        emb = np.asarray(qwen3.embed_tokens(params, jnp.asarray(suf_full)))
+        futs.append(eng.submit_embeds(emb, suf_mask, prefix_id=pid))
+        # reference: the full prompt through the monolithic engine, with the
+        # same mask layout (prefix dense, suffix possibly left-padded)
+        full_ids = np.concatenate([prefix_ids, suf_full], axis=1)
+        full_mask = np.concatenate([np.ones((1, 6), np.int32), suf_mask], axis=1)
+        refs.append(_ref_generate(params, cfg, gen_cfg, full_ids, full_mask))
+    eng.run_until_idle()
+    for fut, (ref_toks, _) in zip(futs, refs):
+        toks, n = fut.result(timeout=1)
+        assert n == 8
+        np.testing.assert_array_equal(toks, ref_toks[:n])
+
+    bad = eng.submit_embeds(np.zeros((1, 4, cfg.hidden_size), np.float32),
+                            np.ones((1, 4), np.int32), prefix_id=999)
+    with pytest.raises(ValueError):
+        bad.result(timeout=1)
+    with pytest.raises(ValueError):
+        eng.register_prefix(np.zeros((1, 48, cfg.hidden_size), np.float32))
+
+
 def test_oversized_prompt_rejected(setup):
     cfg, params = setup
     gen_cfg = GenerationConfig(max_new_tokens=8, pad_token_id=0)

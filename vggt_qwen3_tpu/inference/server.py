@@ -190,7 +190,12 @@ class SlotQAService:
                 self.params, self.stage.model, self.image_token_id,
                 views, ids, mask,
             )
-            inner = self.engine.submit_embeds(np.asarray(embeds), np.asarray(mask2))
+            req_budget = request.get("max_new_tokens")
+            if req_budget is not None:
+                req_budget = min(int(req_budget), self.gen_cfg.max_new_tokens)
+            inner = self.engine.submit_embeds(
+                np.asarray(embeds), np.asarray(mask2), max_new_tokens=req_budget
+            )
         except Exception as e:
             outer.set_exception(e)
             return outer

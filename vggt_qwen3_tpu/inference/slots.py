@@ -20,6 +20,15 @@ Design — TPU-idiomatic, compile-once, fixed shapes throughout:
   arriving mid-decode waits at most one chunk (default 4 tokens), not the
   whole batch — the gap VERDICT r2 named vs the batch-boundary coalescer in
   ``inference/server.py``.
+- **Pipelined delivery**: each decode chunk returns a small packed snapshot
+  (done | n_gen | out) that the host fetches one chunk LATE, overlapping the
+  fetch round-trip with the next chunk's compute (5.99 → 21.2 req/s on the
+  tunneled v5e, BASELINE.md). Safe because finished rows freeze device-side;
+  per-slot admission boundaries stop a pre-admission snapshot from
+  delivering a reused slot's new occupant.
+- **Per-request budgets** (``submit_embeds(..., max_new_tokens=...)``) and
+  **shared-prefix KV reuse** (``register_prefix`` — system-prompt caching;
+  admission then prefills only the request suffix at ``cache_offset=P``).
 
 Greedy + repetition-penalty semantics are identical to ``engine.generate``
 (same ``ops/sampling`` processors, same seen-buffer rules for the
@@ -66,12 +75,77 @@ def init_slot_state(cfg: Qwen3Config, gen_cfg: GenerationConfig, num_slots: int,
         "done": jnp.ones((B,), bool),
         "out": jnp.zeros((B, N), jnp.int32),
         "n_gen": jnp.zeros((B,), jnp.int32),
+        # per-slot decode budget (≤ N): requests can ask for fewer tokens
+        # than the engine max, so slots free at different chunk boundaries
+        "budget": jnp.full((B,), N, jnp.int32),
     }
+
+
+@partial(jax.jit, static_argnames=("cfg", "kv_dtype", "row_len"))
+def _prefix_prefill(params, cfg: Qwen3Config, inputs_embeds: jnp.ndarray,
+                    kv_dtype: Optional[str], row_len: int):
+    """Prefill a DENSE (unpadded) shared prefix once into a fresh 1-row cache
+    of length ``row_len``; the row is stashed on device and copied into a slot
+    at every prefixed admission (system-prompt / shared-prefix KV reuse).
+
+    Prefix K/V depend only on prefix tokens (causal), so the stashed rows are
+    bit-identical to what a full prompt prefill would have written — prefixed
+    admission is token-exact vs prefilling prefix+suffix together."""
+    P = inputs_embeds.shape[1]
+    cache = qwen3.init_cache(cfg, 1, row_len, dtype=kv_dtype)
+    mask = jnp.zeros((1, row_len), jnp.int32).at[:, :P].set(1)
+    _, cache = qwen3.forward(
+        params, cfg, inputs_embeds=inputs_embeds, attention_mask=mask,
+        positions=jnp.arange(P)[None, :], cache=cache, cache_offset=0,
+        prefill_padding="right", last_logit_only=True,
+    )
+    return cache, mask
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def _admit_prefixed(params, state, cfg: Qwen3Config, slot: jnp.ndarray,
+                    inputs_embeds: jnp.ndarray, attention_mask: jnp.ndarray,
+                    budget: jnp.ndarray, prefix_cache, prefix_mask: jnp.ndarray,
+                    prefix_len: jnp.ndarray):
+    """Admit a left-padded suffix on top of a stashed prefix row: the slot's
+    cache row starts as a copy of the prefix KV, and only the suffix is
+    prefilled (``cache_offset=prefix_len``) — admission cost scales with the
+    suffix, not the full prompt."""
+    S = inputs_embeds.shape[1]
+    row_mask = jax.lax.dynamic_update_slice(prefix_mask, attention_mask, (0, prefix_len))
+    positions = prefix_len + jnp.maximum(jnp.cumsum(attention_mask, axis=-1) - 1, 0)
+    logits, row_cache = qwen3.forward(
+        params, cfg, inputs_embeds=inputs_embeds, attention_mask=row_mask,
+        positions=positions, cache=prefix_cache, cache_offset=prefix_len,
+        last_logit_only=True,
+    )
+    cache = jax.tree.map(
+        lambda full, row: jax.lax.dynamic_update_slice_in_dim(full, row, slot, axis=1),
+        state["cache"], row_cache,
+    )
+    n_valid = prefix_len + attention_mask.sum()
+    state = dict(
+        state,
+        cache=cache,
+        kv_mask=jax.lax.dynamic_update_slice_in_dim(state["kv_mask"], row_mask, slot, axis=0),
+        write_off=state["write_off"].at[slot].set(prefix_len + S),
+        rot_pos=state["rot_pos"].at[slot].set(n_valid),
+        next_logits=state["next_logits"].at[slot].set(logits[0, -1]),
+        seen_ids=state["seen_ids"].at[slot].set(0),
+        seen_len=state["seen_len"].at[slot].set(0),
+        active=state["active"].at[slot].set(True),
+        done=state["done"].at[slot].set(False),
+        out=state["out"].at[slot].set(0),
+        n_gen=state["n_gen"].at[slot].set(0),
+        budget=state["budget"].at[slot].set(budget),
+    )
+    return state
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
 def _admit(params, state, cfg: Qwen3Config, slot: jnp.ndarray,
-           inputs_embeds: jnp.ndarray, attention_mask: jnp.ndarray):
+           inputs_embeds: jnp.ndarray, attention_mask: jnp.ndarray,
+           budget: jnp.ndarray):
     """Prefill one prompt ([1, S, H], left-padded mask [1, S]) into cache row
     ``slot`` and arm the slot. Other slots' rows are untouched (the row slice
     is copied out, filled, and written back — ~12 MB for the 4B cache row)."""
@@ -107,6 +181,7 @@ def _admit(params, state, cfg: Qwen3Config, slot: jnp.ndarray,
         done=state["done"].at[slot].set(False),
         out=state["out"].at[slot].set(0),
         n_gen=state["n_gen"].at[slot].set(0),
+        budget=state["budget"].at[slot].set(budget),
     )
     return state
 
@@ -133,9 +208,9 @@ def _decode_chunk(params, state, cfg: Qwen3Config, gen_cfg: GenerationConfig, ch
             done = state["done"] | (tok == gen_cfg.eos_token_id)
         else:
             done = state["done"]
-        # budget exhaustion also finishes the slot
+        # budget exhaustion also finishes the slot (per-slot budget ≤ N)
         n_gen = jnp.where(stopped, state["n_gen"], state["n_gen"] + 1)
-        done = done | (n_gen >= N)
+        done = done | (n_gen >= jnp.minimum(state["budget"], N))
 
         write_idx = jnp.clip(state["n_gen"], 0, N - 1)
         out = jnp.where(
@@ -171,7 +246,15 @@ def _decode_chunk(params, state, cfg: Qwen3Config, gen_cfg: GenerationConfig, ch
         return state, None
 
     state, _ = jax.lax.scan(step, state, None, length=chunk)
-    return state
+    # snapshot for the host scheduler, packed into ONE fresh [B, N+2] buffer
+    # (done | n_gen | out) so it never aliases donated state buffers — the
+    # host fetches it one chunk LATE, overlapping the fetch round-trip with
+    # the next chunk's compute instead of serializing on it
+    snap = jnp.concatenate(
+        [state["done"].astype(jnp.int32)[:, None], state["n_gen"][:, None],
+         state["out"]], axis=1,
+    )
+    return state, snap
 
 
 # ---------------------------------------------------------------------------
@@ -185,6 +268,8 @@ class _Pending:
     attention_mask: np.ndarray    # [1, S]
     future: object                # concurrent.futures.Future
     submitted_at: float = 0.0
+    max_new_tokens: Optional[int] = None  # per-request budget (≤ engine max)
+    prefix_id: Optional[int] = None       # registered shared-prefix handle
 
 
 @dataclass
@@ -214,21 +299,62 @@ class SlotEngine:
         self.max_len = max_len
         self.decode_chunk = decode_chunk
         self.state = init_slot_state(cfg, gen_cfg, num_slots, max_len)
+        self.prefixes: Dict[int, Tuple[object, jnp.ndarray, int]] = {}
+        self._next_prefix_id = 0
         self.queue: "Queue[_Pending]" = Queue()
         self.slot_futures: List[Optional[object]] = [None] * num_slots
         self.stats = SlotStats()
         self._chunk_idx = 0
+        self._pending_snap = None  # 1-deep snapshot pipeline (see step_once)
+        # first chunk that can report on each slot's CURRENT occupant — a
+        # lagged snapshot older than this carries the previous occupant's
+        # done flag and must not deliver the new future
+        self._slot_admit_boundary = [0] * num_slots
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._lock = threading.Lock()
 
     # -- submission ---------------------------------------------------------
 
-    def submit_embeds(self, inputs_embeds: np.ndarray, attention_mask: np.ndarray):
+    def register_prefix(self, inputs_embeds: np.ndarray) -> int:
+        """Prefill a DENSE shared prefix ([1, P, H] embeds, no padding) once
+        and stash its KV row; returns a handle for ``submit_embeds``'s
+        ``prefix_id``. Typical use: a system hint shared by every request
+        (ARKit RoomPlan) — per-request admission then prefills only the
+        user-specific suffix."""
+        P = inputs_embeds.shape[1]
+        if P >= self.max_len - self.gen_cfg.max_new_tokens:
+            raise ValueError(f"prefix length {P} leaves no room in the "
+                             f"{self.max_len}-token slot row")
+        cache, mask = _prefix_prefill(
+            self.params, self.cfg, jnp.asarray(inputs_embeds),
+            self.gen_cfg.kv_dtype or self.cfg.dtype, self.max_len,
+        )
+        pid = self._next_prefix_id
+        self._next_prefix_id += 1
+        self.prefixes[pid] = (cache, mask, P)
+        return pid
+
+    def submit_embeds(self, inputs_embeds: np.ndarray, attention_mask: np.ndarray,
+                      max_new_tokens: Optional[int] = None,
+                      prefix_id: Optional[int] = None):
         from concurrent.futures import Future
 
         fut: Future = Future()
-        self.queue.put(_Pending(inputs_embeds, attention_mask, fut, time.time()))
+        if max_new_tokens is not None and not (
+            0 < max_new_tokens <= self.gen_cfg.max_new_tokens
+        ):
+            fut.set_exception(ValueError(
+                f"max_new_tokens {max_new_tokens} outside (0, "
+                f"{self.gen_cfg.max_new_tokens}] engine budget"))
+            return fut
+        if prefix_id is not None and prefix_id not in self.prefixes:
+            fut.set_exception(ValueError(f"unknown prefix_id {prefix_id}"))
+            return fut
+        self.queue.put(
+            _Pending(inputs_embeds, attention_mask, fut, time.time(),
+                     max_new_tokens, prefix_id)
+        )
         return fut
 
     # -- scheduler core -----------------------------------------------------
@@ -247,32 +373,47 @@ class SlotEngine:
             except Empty:
                 return
             S = req.inputs_embeds.shape[1]
-            if S > self.max_len - self.gen_cfg.max_new_tokens:
+            P = 0 if req.prefix_id is None else self.prefixes[req.prefix_id][2]
+            if P + S > self.max_len - self.gen_cfg.max_new_tokens:
                 req.future.set_exception(
-                    ValueError(f"prompt length {S} exceeds slot budget "
+                    ValueError(f"prompt length {P}+{S} exceeds slot budget "
                                f"{self.max_len - self.gen_cfg.max_new_tokens}")
                 )
                 continue
-            self.state = _admit(
-                self.params, self.state, self.cfg, jnp.int32(slot),
-                jnp.asarray(req.inputs_embeds), jnp.asarray(req.attention_mask, jnp.int32),
-            )
+            budget = jnp.int32(req.max_new_tokens or self.gen_cfg.max_new_tokens)
+            if req.prefix_id is None:
+                self.state = _admit(
+                    self.params, self.state, self.cfg, jnp.int32(slot),
+                    jnp.asarray(req.inputs_embeds),
+                    jnp.asarray(req.attention_mask, jnp.int32), budget,
+                )
+            else:
+                cache, mask, _ = self.prefixes[req.prefix_id]
+                self.state = _admit_prefixed(
+                    self.params, self.state, self.cfg, jnp.int32(slot),
+                    jnp.asarray(req.inputs_embeds),
+                    jnp.asarray(req.attention_mask, jnp.int32), budget,
+                    cache, mask, jnp.int32(P),
+                )
             self.slot_futures[slot] = req.future
+            self._slot_admit_boundary[slot] = self._chunk_idx + 1
             self.stats.requests += 1
             self.stats.admission_log.append((self._chunk_idx, slot))
             if was_decoding:
                 self.stats.admitted_mid_decode += 1
 
-    def _deliver_finished(self) -> None:
-        done = np.asarray(self.state["done"])
-        if not any(
-            f is not None and done[i] for i, f in enumerate(self.slot_futures)
-        ):
-            return
-        out = np.asarray(self.state["out"])
-        n_gen = np.asarray(self.state["n_gen"])
+    def _deliver_from(self, snap_idx: int, snap) -> None:
+        """Deliver finished requests from the chunk-``snap_idx`` snapshot
+        (packed [B, N+2] int32: done | n_gen | out). The snapshot is one
+        chunk old: finished rows freeze device-side, so lagged flags are
+        valid for a slot's current occupant — but a snapshot OLDER than the
+        occupant's admission carries the previous occupant's done flag, so
+        those slots are skipped (``_slot_admit_boundary``)."""
+        snap = np.asarray(snap)  # blocks only until ITS chunk finished; the
+        # next chunk is already dispatched, so the fetch overlaps its compute
+        done, n_gen, out = snap[:, 0] > 0, snap[:, 1], snap[:, 2:]
         for i, fut in enumerate(self.slot_futures):
-            if fut is None or not done[i]:
+            if fut is None or not done[i] or self._slot_admit_boundary[i] > snap_idx:
                 continue
             n = int(n_gen[i])
             toks = out[i, :n]
@@ -289,15 +430,23 @@ class SlotEngine:
         """One scheduler iteration. Returns True if any work remains."""
         with self._lock:
             self._admit_pending()
-            if not self._any_active():
-                return not self.queue.empty()
-            self.state = _decode_chunk(
-                self.params, self.state, self.cfg, self.gen_cfg, self.decode_chunk
-            )
-            self._chunk_idx += 1
-            self.stats.chunks += 1
-            self._deliver_finished()
-            return True
+            if self._any_active():
+                self.state, snap = _decode_chunk(
+                    self.params, self.state, self.cfg, self.gen_cfg, self.decode_chunk
+                )
+                self._chunk_idx += 1
+                self.stats.chunks += 1
+                # pipeline: examine the PREVIOUS chunk's snapshot while this
+                # one computes (1-chunk delivery lag, ~RTT hidden per chunk)
+                prev, self._pending_snap = self._pending_snap, (self._chunk_idx, snap)
+                if prev is not None:
+                    self._deliver_from(*prev)
+                return True
+            if self._pending_snap is not None:  # drain the trailing snapshot
+                prev, self._pending_snap = self._pending_snap, None
+                self._deliver_from(*prev)
+                return True
+            return not self.queue.empty()
 
     def run_until_idle(self) -> None:
         while self.step_once():
