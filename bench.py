@@ -125,6 +125,46 @@ def e2e_mode() -> None:
         f"{(ms - ttft_ms) / max(n_dec, 1):.2f} ms/tok",
         file=sys.stderr, flush=True,
     )
+    # Early-exit latency curve: the 32-token number above is the protocol
+    # worst case (max_new_tokens=32), but the deployment workload finishes at
+    # EOS — ground-truth answers in the reference's frozen eval artifacts are
+    # 1-2 words median (outputs/qa/baseline_eval/*.jsonl "reference" fields).
+    # A per-row budget of k tokens does exactly the work of EOS-at-k, so the
+    # curve below is the honest "query whose answer is k tokens" latency on
+    # ONE chip (chunked decode, pipelined all-done flag — engine.py).
+    from vggt_qwen3_tpu.inference.engine import generate_early_exit
+
+    @jax.jit
+    def prep(params, images, ids):
+        vis = vlm.encode_images(params, cfg, images)
+        emb = qwen3.embed_tokens(params["text"], ids)
+        mask = jnp.ones(ids.shape, jnp.int32)
+        return vlm.splice_expand(emb, mask, ids.at[:, 10].set(img_id), vis, img_id)
+
+    chunk = int(os.environ.get("BENCH_EE_CHUNK", "8"))
+
+    def ee_query(k: int) -> int:
+        emb2, mask2 = prep(params, images, ids)
+        toks, _, nch = generate_early_exit(
+            params["text"], cfg.text, gen_cfg, inputs_embeds=emb2,
+            attention_mask=mask2, budget=np.full((1,), k, np.int32), chunk=chunk,
+        )
+        np.asarray(toks)
+        return nch
+
+    ee_query(32)  # compile prefill-carry + chunk programs once
+    for k in (2, 4, 8, 16, 32):
+        etimes = []
+        for _ in range(4):
+            t0 = time.time()
+            nch = ee_query(k)
+            etimes.append(time.time() - t0)
+        print(
+            f"e2e early-exit (chunk {chunk}): answer_len={k:>2} → "
+            f"{min(etimes) * 1000:.1f} ms ({nch} chunks dispatched)",
+            file=sys.stderr, flush=True,
+        )
+
     print(
         json.dumps(
             {

@@ -128,3 +128,75 @@ def test_eos_stop_and_pad_fill(pair):
     assert ours[:, :L].tolist() == ref.tolist()
     assert (ours[:, L:] == 0).all()
     assert int(lengths[0]) == L
+
+
+# ---------------------------------------------------------------------------
+# Chunked early-exit path: same tokens, fewer dispatched chunks
+# ---------------------------------------------------------------------------
+
+from vggt_qwen3_tpu.inference.engine import generate_early_exit  # noqa: E402
+
+
+def test_early_exit_token_exact_vs_generate(pair):
+    """Full-budget early-exit run is bit-identical to the monolithic scan
+    (processors + EOS/pad semantics), including a ragged last chunk."""
+    _, cfg, params = pair
+    rng = np.random.default_rng(5)
+    ids = rng.integers(1, cfg.vocab_size, size=(2, 9))
+    jemb = qwen3.embed_tokens(params, jnp.asarray(ids))
+    mask = jnp.ones((2, 9))
+    gen_cfg = GenerationConfig(max_new_tokens=14, repetition_penalty=1.1, pad_token_id=0)
+    ref_toks, ref_lens = generate(params, cfg, gen_cfg, inputs_embeds=jemb, attention_mask=mask)
+    toks, lens, dispatched = generate_early_exit(
+        params, cfg, gen_cfg, inputs_embeds=jemb, attention_mask=mask, chunk=4
+    )
+    assert np.asarray(toks).tolist() == np.asarray(ref_toks).tolist()
+    assert np.asarray(lens).tolist() == np.asarray(ref_lens).tolist()
+    assert dispatched == 4  # ceil(14/4): no early stop without EOS/budget
+
+
+def test_early_exit_stops_early_on_eos(pair):
+    _, cfg, params = pair
+    rng = np.random.default_rng(6)
+    ids = rng.integers(1, cfg.vocab_size, size=(1, 8))
+    jemb = qwen3.embed_tokens(params, jnp.asarray(ids))
+    mask = jnp.ones((1, 8))
+    # discover an early token, declare it EOS
+    free_cfg = GenerationConfig(max_new_tokens=24, pad_token_id=0)
+    free, _ = generate(params, cfg, free_cfg, inputs_embeds=jemb, attention_mask=mask)
+    eos = int(np.asarray(free)[0, 2])
+
+    gen_cfg = GenerationConfig(max_new_tokens=24, eos_token_id=eos, pad_token_id=0)
+    ref_toks, ref_lens = generate(params, cfg, gen_cfg, inputs_embeds=jemb, attention_mask=mask)
+    toks, lens, dispatched = generate_early_exit(
+        params, cfg, gen_cfg, inputs_embeds=jemb, attention_mask=mask, chunk=4
+    )
+    assert np.asarray(toks).tolist() == np.asarray(ref_toks).tolist()
+    assert np.asarray(lens).tolist() == np.asarray(ref_lens).tolist()
+    # EOS lands in chunk 0 (≤4 tokens); the pipelined flag check stops the
+    # loop one chunk later — far short of the 6 full chunks
+    assert dispatched <= 2
+
+
+def test_early_exit_per_row_budget(pair):
+    """Budget-finished rows emit exactly `budget` tokens (a prefix of the
+    unbudgeted stream) then pads; lengths report the budget."""
+    _, cfg, params = pair
+    rng = np.random.default_rng(7)
+    ids = rng.integers(1, cfg.vocab_size, size=(2, 6))
+    jemb = qwen3.embed_tokens(params, jnp.asarray(ids))
+    mask = jnp.ones((2, 6))
+    gen_cfg = GenerationConfig(max_new_tokens=16, repetition_penalty=1.1, pad_token_id=0)
+    ref_toks, _ = generate(params, cfg, gen_cfg, inputs_embeds=jemb, attention_mask=mask)
+    ref_toks = np.asarray(ref_toks)
+
+    toks, lens, dispatched = generate_early_exit(
+        params, cfg, gen_cfg, inputs_embeds=jemb, attention_mask=mask,
+        budget=np.array([5, 3]), chunk=4,
+    )
+    toks = np.asarray(toks)
+    assert toks[0, :5].tolist() == ref_toks[0, :5].tolist()
+    assert toks[1, :3].tolist() == ref_toks[1, :3].tolist()
+    assert (toks[0, 5:] == 0).all() and (toks[1, 3:] == 0).all()
+    assert np.asarray(lens).tolist() == [5, 3]
+    assert dispatched <= 3  # both budgets land in chunks 0-1 → stop by 3

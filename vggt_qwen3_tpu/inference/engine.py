@@ -21,6 +21,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import Qwen3Config
 from ..models import qwen3
@@ -162,6 +163,208 @@ def generate(
     else:
         lengths = jnp.full((B,), N, jnp.int32)
     return tokens, lengths
+
+
+# ---------------------------------------------------------------------------
+# Chunked early-exit generation
+# ---------------------------------------------------------------------------
+#
+# ``generate`` always runs ``max_new_tokens`` decode steps — the right shape
+# for throughput benches, but a latency waste for real queries: the reference
+# deployment's answers are 1-2 words median (ground-truth references in
+# ``outputs/qa/baseline_eval/*.jsonl``), and the HF loop it replaces
+# (``qa_inference.py:207-216``) stops at EOS. The chunked path decodes in
+# fixed-size compiled chunks and stops ~one chunk after every row finishes
+# (EOS or per-row budget), with the all-done flag fetched one chunk LATE so
+# the host round-trip overlaps the next chunk's compute (the slot engine's
+# pipelined-delivery trick, ``inference/slots.py``). Token outputs are
+# bit-identical to ``generate`` — scheduling changes when work happens, not
+# what is computed (locked by ``tests/test_generation_parity.py``).
+
+
+@partial(jax.jit, static_argnames=("cfg", "gen_cfg"))
+def _prefill_carry(
+    params,
+    cfg: Qwen3Config,
+    gen_cfg: GenerationConfig,
+    *,
+    inputs_embeds: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    prompt_ids: Optional[jnp.ndarray] = None,
+    budget: Optional[jnp.ndarray] = None,
+):
+    """Prompt prefill → decode carry (same state ``generate`` scans over,
+    plus per-row ``n_gen``/``budget`` so rows can finish early)."""
+    B, S, _ = inputs_embeds.shape
+    N = gen_cfg.max_new_tokens
+    total = S + N
+
+    cache = qwen3.init_cache(cfg, B, total, dtype=gen_cfg.kv_dtype or cfg.dtype)
+    mask = jnp.zeros((B, total), jnp.int32)
+    mask = mask.at[:, :S].set(attention_mask.astype(jnp.int32))
+    positions = jnp.maximum(jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1, 0)
+
+    logits, cache = qwen3.forward(
+        params, cfg, inputs_embeds=inputs_embeds,
+        attention_mask=mask, positions=positions, cache=cache, cache_offset=0,
+        prefill_padding="left", last_logit_only=True,
+    )
+    next_logits = logits[:, -1]
+    next_pos = positions[:, -1] + 1
+
+    seen_cap = (S if gen_cfg.penalize_prompt else 0) + N
+    seen_ids = jnp.zeros((B, seen_cap), jnp.int32)
+    if gen_cfg.penalize_prompt:
+        ids = prompt_ids if prompt_ids is not None else jnp.zeros((B, S), jnp.int32)
+        seen_ids = seen_ids.at[:, :S].set(ids.astype(jnp.int32))
+        seen_len = attention_mask.astype(jnp.int32).sum(-1)
+    else:
+        seen_len = jnp.zeros((B,), jnp.int32)
+
+    done = jnp.zeros((B,), bool)
+    fsm_state = jnp.zeros((B,), jnp.int32)
+    n_gen = jnp.zeros((B,), jnp.int32)
+    if budget is None:
+        budget = jnp.full((B,), N, jnp.int32)
+    # pad-fill so never-decoded columns (early exit) match generate's padding
+    out = jnp.full((B, N), gen_cfg.pad_token_id, jnp.int32)
+    return (cache, mask, next_logits, next_pos, seen_ids, seen_len, done,
+            fsm_state, n_gen, budget, out)
+
+
+@partial(jax.jit, static_argnames=("cfg", "gen_cfg", "chunk"), donate_argnums=(1,))
+def _early_exit_chunk(
+    params,
+    carry,
+    cfg: Qwen3Config,
+    gen_cfg: GenerationConfig,
+    chunk: int,
+    t0: jnp.ndarray,
+    constraint: Optional[jnp.ndarray] = None,
+):
+    """Advance the decode carry ``chunk`` steps starting at global step ``t0``.
+
+    Returns ``(carry, all_done scalar)``; the step body is ``generate``'s,
+    plus per-row budget exhaustion folding into ``done``. Tokens accumulate
+    in the carry's device-side ``out`` buffer — fetched ONCE by
+    ``_early_exit_pack`` at the end, because on a tunneled backend every
+    separate host fetch costs a full round-trip (~40 ms here; per-chunk
+    token fetches measured +160 ms on a 4-chunk query)."""
+    N = gen_cfg.max_new_tokens
+    B = carry[2].shape[0]
+    S = carry[1].shape[1] - N  # mask width is S + N
+
+    def step(carry, t):
+        (cache, mask, next_logits, next_pos, seen_ids, seen_len, done,
+         fsm_state, n_gen, budget, out) = carry
+        logits = _processors(next_logits, seen_ids, seen_len, gen_cfg)
+        if constraint is not None:
+            allowed = constraint[fsm_state] >= 0
+            cand = jnp.where(allowed, logits, -jnp.inf)
+            feasible = jnp.isfinite(cand).any(axis=-1, keepdims=True)
+            raw_cand = jnp.where(allowed, next_logits, -jnp.inf)
+            logits = jnp.where(feasible, cand, raw_cand)
+        tok = greedy_token(logits)
+        if constraint is not None:
+            nxt = constraint[fsm_state, tok]
+            fsm_state = jnp.where(done, fsm_state, jnp.maximum(nxt, 0))
+        out_tok = jnp.where(done, gen_cfg.pad_token_id, tok)
+        n_gen = jnp.where(done, n_gen, n_gen + 1)
+        if gen_cfg.eos_token_id is not None:
+            done_next = done | (tok == gen_cfg.eos_token_id)
+        else:
+            done_next = done
+        done_next = done_next | (n_gen >= budget)
+
+        seen_ids = seen_ids.at[jnp.arange(B), jnp.clip(seen_len, 0, seen_ids.shape[1] - 1)].set(out_tok)
+        seen_len = seen_len + 1
+        out = out.at[:, t].set(out_tok)
+
+        mask = mask.at[:, S + t].set(1)
+        emb = qwen3.embed_tokens(params, out_tok[:, None])
+        logits_new, cache = qwen3.forward(
+            params, cfg, inputs_embeds=emb, attention_mask=mask,
+            positions=(next_pos + t)[:, None], cache=cache, cache_offset=S + t,
+        )
+        carry = (cache, mask, logits_new[:, 0], next_pos, seen_ids, seen_len,
+                 done_next, fsm_state, n_gen, budget, out)
+        return carry, None
+
+    carry, _ = jax.lax.scan(step, carry, t0 + jnp.arange(chunk))
+    # all_done is a fresh scalar (never aliases the donated carry) the host
+    # fetches one chunk late — see generate_early_exit
+    return carry, carry[6].all()
+
+
+@jax.jit
+def _early_exit_pack(carry):
+    """Pack (out | n_gen) into ONE fresh buffer for a single host fetch."""
+    out, n_gen = carry[10], carry[8]
+    return jnp.concatenate([out, n_gen[:, None]], axis=1)
+
+
+def generate_early_exit(
+    params,
+    cfg: Qwen3Config,
+    gen_cfg: GenerationConfig,
+    *,
+    inputs_embeds: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    prompt_ids: Optional[jnp.ndarray] = None,
+    constraint: Optional[jnp.ndarray] = None,
+    budget: Optional[jnp.ndarray] = None,
+    chunk: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
+    """``generate`` with chunked EOS/budget early exit (host-driven).
+
+    Args match :func:`generate`, plus:
+        budget: optional [B] int32 per-row token budgets (≤ max_new_tokens);
+            a row finishes after emitting its budget, like the slot engine's
+            per-request budgets.
+        chunk: decode steps per compiled chunk. Latency for a query whose
+            rows all finish by step k ≈ prefill + ceil(k/chunk)+1 chunks
+            (the +1 is the pipelining lag hiding the flag-fetch round-trip).
+
+    Returns ``(tokens [B, max_new_tokens] — pad-filled after finish,
+    lengths [B], chunks_dispatched)``. Tokens/lengths are bit-identical to
+    ``generate`` when budgets are full.
+    """
+    N = gen_cfg.max_new_tokens
+    carry = _prefill_carry(
+        params, cfg, gen_cfg, inputs_embeds=inputs_embeds,
+        attention_mask=attention_mask, prompt_ids=prompt_ids,
+        budget=None if budget is None else jnp.asarray(budget, jnp.int32),
+    )
+    prev_flag = None
+    dispatched = 0
+    t = 0
+    while t < N:
+        size = min(chunk, N - t)
+        carry, all_done = _early_exit_chunk(
+            params, carry, cfg, gen_cfg, size, jnp.int32(t), constraint
+        )
+        dispatched += 1
+        t += size
+        # check the PREVIOUS chunk's flag while this one computes: the fetch
+        # blocks only until that chunk finished, so the round-trip overlaps
+        # the in-flight chunk instead of serializing on it. One chunk of
+        # (pad-emitting) overshoot when it fires — outputs unaffected.
+        if prev_flag is not None and bool(np.asarray(prev_flag)):
+            break
+        prev_flag = all_done
+
+    packed = np.asarray(_early_exit_pack(carry))  # the ONLY bulk fetch
+    out, n_gen = packed[:, :N], packed[:, N]
+    if gen_cfg.eos_token_id is not None:
+        is_eos = out == gen_cfg.eos_token_id
+        seen_eos = np.cumsum(is_eos.astype(np.int32), axis=-1) - is_eos.astype(np.int32)
+        lengths = (seen_eos == 0).astype(np.int32).sum(-1)
+        # budget-finished rows have no EOS: pads after finish would count as
+        # "alive", so clamp by the device-side emitted count
+        lengths = np.minimum(lengths, n_gen)
+    else:
+        lengths = n_gen
+    return jnp.asarray(out), jnp.asarray(lengths), dispatched
 
 
 def generate_text(
