@@ -9,7 +9,9 @@ Rebuilds the capabilities of the VGGT-Qwen3 RoomPlan stack (reference:
   quantized-KV attention paths (XLA-fused where XLA wins — see BASELINE.md for
   the measured kernel-vs-XLA findings), and XLA-fused image preprocessing.
 - ``parallel/``: device mesh construction and sharding-spec registry (pjit
-  NamedSharding over ``dp``/``fsdp``/``tp`` axes; ICI collectives emitted by XLA).
+  NamedSharding over ``dp``/``fsdp``/``tp``/``pp`` axes; ICI collectives
+  emitted by XLA), plus a GPipe pipeline schedule over ``pp`` (shard_map +
+  ppermute, ``parallel/pipeline.py``).
 - ``train/``   : SFT trainer (two-group AdamW + cosine warmup, grad accumulation,
   frozen-vision stop-gradient, sharded optimizer state, Orbax checkpoints).
 - ``data/``    : multi-source mixed-ratio dataset, collator, tokenizer adapters.

@@ -231,25 +231,30 @@ class TrainConfig:
     log_every_steps: int = 20
     gradient_clip: float = 1.0
     seed: int = 42
+    # GPipe microbatches per step when mesh.pp > 1 (0 → 2·pp; utilization is
+    # M/(M+pp-1), parallel/pipeline.py). The per-device batch must divide by it.
+    pp_microbatches: int = 0
 
 
 @dataclass(frozen=True)
 class MeshConfig:
     """Logical device mesh. Axes: ``dp`` (data), ``fsdp`` (ZeRO-3-style param
-    sharding), ``tp`` (tensor parallel over ICI). Replaces the reference's
-    accelerate/DeepSpeed/NCCL layer (SURVEY.md §2.7)."""
+    sharding), ``tp`` (tensor parallel over ICI), ``pp`` (pipeline stages —
+    GPipe schedule over the decoder stack, ``parallel/pipeline.py``). Replaces
+    the reference's accelerate/DeepSpeed/NCCL layer (SURVEY.md §2.7)."""
 
     dp: int = 1
     fsdp: int = 1
     tp: int = 1
+    pp: int = 1
 
     @property
-    def shape(self) -> Tuple[int, int, int]:
-        return (self.dp, self.fsdp, self.tp)
+    def shape(self) -> Tuple[int, int, int, int]:
+        return (self.dp, self.fsdp, self.tp, self.pp)
 
     @property
     def num_devices(self) -> int:
-        return self.dp * self.fsdp * self.tp
+        return self.dp * self.fsdp * self.tp * self.pp
 
 
 @dataclass(frozen=True)
@@ -354,11 +359,13 @@ def load_stage_config(
         log_every_steps=tc.get("log_every_steps", 20),
         gradient_clip=float(tc.get("gradient_clip", 1.0)),
         seed=tc.get("seed", 42),
+        pp_microbatches=int(tc.get("pp_microbatches", 0)),
     )
 
     if mesh is None and isinstance(raw.get("mesh"), dict):
         m = raw["mesh"]
-        mesh = MeshConfig(dp=int(m.get("dp", 1)), fsdp=int(m.get("fsdp", 1)), tp=int(m.get("tp", 1)))
+        mesh = MeshConfig(dp=int(m.get("dp", 1)), fsdp=int(m.get("fsdp", 1)),
+                          tp=int(m.get("tp", 1)), pp=int(m.get("pp", 1)))
 
     extras = {k: v for k, v in raw.items() if k not in ("model", "data", "train", "mesh")}
     lc = raw.get("lora") or {}

@@ -175,6 +175,7 @@ def forward_hidden(
     cache: Optional[Dict[str, jnp.ndarray]] = None,
     cache_offset: int | jnp.ndarray = 0,
     prefill_padding: Optional[str] = None,
+    pipeline=None,
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     """Run the decoder stack.
 
@@ -195,6 +196,10 @@ def forward_hidden(
             contiguous, unlocking the Pallas flash-attention prefill path
             (inference only; the kernel has no VJP). Requires
             ``cache_offset == 0`` with a cache present.
+        pipeline: optional ``parallel.pipeline.PipelinePlan`` — when its mesh
+            has ``pp > 1``, the (cache-free) training path runs the layer
+            stack as a GPipe pipeline over the ``pp`` mesh axis instead of a
+            local scan. Ignored on cached (inference) calls.
     Returns:
         (hidden [B, S, H], updated cache or None)
     """
@@ -307,6 +312,19 @@ def forward_hidden(
         (h, new_cache), _ = jax.lax.scan(
             body, (h, dict(cache)), (params["layers"], jnp.arange(L))
         )
+    elif pipeline is not None and pipeline.pp > 1:
+        # pipeline-parallel training path: GPipe wavefront over the pp mesh
+        # axis (shard_map + ppermute), per-layer checkpoint inside each stage
+        from ..parallel.pipeline import pipeline_decoder
+
+        def layer_fn(hh, lp, c, s, m):
+            hh, _, _ = _layer_step(cfg, hh, lp, None, None, c, s, m, 0)
+            return hh
+
+        h = pipeline_decoder(
+            params["layers"], h, cos, sin, mask, plan=pipeline, layer_fn=layer_fn
+        )
+        new_cache = None
     else:
         # training path: rematerialize each layer in the backward — stores
         # one [B, S, H] carry per layer instead of every block intermediate

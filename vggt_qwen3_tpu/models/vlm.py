@@ -298,6 +298,7 @@ def train_forward(
     image_token_id: int,
     rng: Optional[jax.Array] = None,
     act_constraint=None,
+    pipeline=None,
 ) -> jnp.ndarray:
     """Training loss, reference semantics (``vggt_qwen3_vlm.py:179-201``):
     geom tokens (when present) are concatenated **before** visual tokens and
@@ -311,6 +312,9 @@ def train_forward(
     reshard the cotangents to the TP weight layouts at a ``slice``/``pad`` and
     falls back to "involuntary full rematerialization" (replicating the tensor
     every step — the MULTICHIP_r02 warnings).
+
+    ``pipeline`` (optional ``parallel.pipeline.PipelinePlan``): runs the text
+    decoder stack as a GPipe pipeline over the mesh's ``pp`` axis.
     """
     constrain = act_constraint or (lambda x: x)
     # constrain BOTH the concat inputs and its output: the concat's backward
@@ -328,7 +332,8 @@ def train_forward(
     embeds = splice_overwrite(embeds, input_ids, features, image_token_id)
     embeds = constrain(embeds)
     hidden, _ = qwen3.forward_hidden(
-        params["text"], cfg.text, embeds, attention_mask=attention_mask
+        params["text"], cfg.text, embeds, attention_mask=attention_mask,
+        pipeline=pipeline,
     )
     hidden = constrain(hidden)
     # chunked CE: never materializes the [B, T, V] fp32 logits (see

@@ -7,7 +7,10 @@ collectives over ICI/DCN. Axes:
 - ``dp``   — pure data parallel (batch),
 - ``fsdp`` — ZeRO-3-equivalent: parameters/optimizer state sharded, batch also
   split here (all-gather on use, reduce-scatter on grads — inserted by XLA),
-- ``tp``   — tensor parallel (attention heads / MLP columns) over ICI.
+- ``tp``   — tensor parallel (attention heads / MLP columns) over ICI,
+- ``pp``   — pipeline stages: the Qwen3 decoder stack splits into ``pp``
+  contiguous stages, scheduled GPipe-style via ``shard_map`` + ``ppermute``
+  (``parallel/pipeline.py``; the reference has no PP — SURVEY §2.7).
 """
 
 from __future__ import annotations
@@ -20,11 +23,11 @@ from jax.sharding import Mesh
 
 from ..config import MeshConfig
 
-AXES = ("dp", "fsdp", "tp")
+AXES = ("dp", "fsdp", "tp", "pp")
 
 
 def build_mesh(cfg: Optional[MeshConfig] = None, devices: Optional[Sequence] = None) -> Mesh:
-    """Build a ``(dp, fsdp, tp)`` mesh.
+    """Build a ``(dp, fsdp, tp, pp)`` mesh.
 
     With ``cfg=None``, all visible devices land on ``fsdp`` (the ZeRO-3-like
     default matching the reference's DeepSpeed setup, ``train_sft.py:119-121``).

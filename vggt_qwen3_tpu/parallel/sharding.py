@@ -71,15 +71,40 @@ def _spec_for(path: Tuple[str, ...], ndim: int) -> P:
     return P()
 
 
+def spec_with_pp(keys: Tuple[str, ...], ndim: int, pp: int) -> P:
+    """Full spec for a (possibly optimizer-wrapped) parameter path: the
+    suffix rule from :func:`_spec_for`, plus — when ``pp > 1`` — the TEXT
+    decoder's stacked-layer leaves (``text.layers.* → [L, ...]``) shard their
+    layer dim over ``pp``, so each pipeline rank stores (and its optimizer
+    updates) only its own stage, matching ``parallel/pipeline.py``'s
+    shard_map in_spec (stage entry is a local slice, not a reshard). The rule
+    matches ``text``/``layers`` anywhere in the path so AdamW mu/nu and
+    MultiSteps accumulators (which mirror param shapes under wrapper keys)
+    stage-shard identically."""
+    spec = _spec_for(keys, ndim)
+    if pp > 1 and ndim >= 1:
+        klist = list(keys)
+        if "text" in klist:
+            i = klist.index("text")
+            if i + 1 < len(klist) and klist[i + 1] == "layers":
+                dims = list(spec) + [None] * (ndim - len(spec))
+                if dims and dims[0] is None:
+                    spec = P("pp", *dims[1:])
+    return spec
+
+
+def path_keys(path) -> Tuple[str, ...]:
+    """jax key-path → plain string keys (dict keys and sequence indices)."""
+    return tuple(k.key if hasattr(k, "key") else str(getattr(k, "idx", k)) for k in path)
+
+
 def param_shardings(params: Any, mesh: Mesh) -> Any:
     """NamedSharding tree mirroring ``params`` (works on shapes or arrays)."""
+    pp = dict(mesh.shape).get("pp", 1)
 
     def one(path, leaf):
-        keys = tuple(
-            k.key if hasattr(k, "key") else str(getattr(k, "idx", k)) for k in path
-        )
         ndim = len(leaf.shape) if hasattr(leaf, "shape") else 0
-        return NamedSharding(mesh, _spec_for(keys, ndim))
+        return NamedSharding(mesh, spec_with_pp(path_keys(path), ndim, pp))
 
     return jax.tree_util.tree_map_with_path(one, params)
 

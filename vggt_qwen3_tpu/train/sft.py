@@ -48,6 +48,11 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--dp", type=int, default=None)
     p.add_argument("--fsdp", type=int, default=None)
     p.add_argument("--tp", type=int, default=None)
+    p.add_argument("--pp", type=int, default=None, help="pipeline stages (GPipe)")
+    p.add_argument(
+        "--pp_microbatches", type=int, default=None,
+        help="GPipe microbatches per step (default 2·pp); batch must divide by it",
+    )
     p.add_argument("--mock_vision", action="store_true", help="zero-token vision backend")
     p.add_argument("--tiny", action="store_true", help="tiny model dims (smoke tests)")
     p.add_argument("--resume", action="store_true", help="resume from latest step_<n>/")
@@ -75,8 +80,9 @@ def build_stage(args) -> "StageConfig":
     # Mesh priority: CLI > YAML `mesh:` block (when it fits the visible
     # devices) > all-devices fsdp (the ZeRO-3-like default).
     mesh_cfg = None
-    if args.dp or args.fsdp or args.tp:
-        mesh_cfg = MeshConfig(dp=args.dp or 1, fsdp=args.fsdp or 1, tp=args.tp or 1)
+    if args.dp or args.fsdp or args.tp or args.pp:
+        mesh_cfg = MeshConfig(dp=args.dp or 1, fsdp=args.fsdp or 1, tp=args.tp or 1,
+                              pp=args.pp or 1)
     text_cfg = QWEN3_TINY if args.tiny else None
     vision_cfg = VGGT_TINY if args.tiny else None
     stage = load_stage_config(args.config, text_config=text_cfg, vision_config=vision_cfg, mesh=mesh_cfg)
@@ -131,6 +137,10 @@ def build_stage(args) -> "StageConfig":
     if args.log_every_steps is not None:
         stage = dataclasses.replace(
             stage, train=dataclasses.replace(stage.train, log_every_steps=args.log_every_steps)
+        )
+    if args.pp_microbatches is not None:
+        stage = dataclasses.replace(
+            stage, train=dataclasses.replace(stage.train, pp_microbatches=args.pp_microbatches)
         )
     return stage
 

@@ -187,15 +187,17 @@ def state_shardings(state_shape: TrainState, mesh) -> TrainState:
 
     params_sh = maybe(state_shape.params)
 
-    from ..parallel.sharding import _spec_for
+    from ..parallel.sharding import path_keys, spec_with_pp
+
+    pp = dict(mesh.shape).get("pp", 1)
 
     def opt_leaf(path, leaf):
-        keys = tuple(k.key if hasattr(k, "key") else str(getattr(k, "idx", k)) for k in path)
         ndim = len(leaf.shape)
         if ndim == 0:
             return NamedSharding(mesh, P())
         # optimizer leaves mirror param shapes — reuse the param rules
-        return NamedSharding(mesh, _spec_for(keys, ndim))
+        # (incl. pp stage-sharding of text.layers moments/accumulators)
+        return NamedSharding(mesh, spec_with_pp(path_keys(path), ndim, pp))
 
     opt_sh = jax.tree_util.tree_map_with_path(opt_leaf, state_shape.opt_state)
     return TrainState(params=params_sh, opt_state=opt_sh, step=NamedSharding(mesh, P()))
@@ -223,6 +225,7 @@ def make_train_step(
     # the partitioner never hits "involuntary full rematerialization" on the
     # splice/logits transpose ops.
     act_constraint = None
+    pipeline = None
     if state_sharding is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -231,6 +234,15 @@ def make_train_step(
         def act_constraint(x):
             spec = P(("dp", "fsdp"), *([None] * (x.ndim - 1)))
             return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+        pp = dict(mesh.shape).get("pp", 1)
+        if pp > 1:
+            from ..parallel.pipeline import PipelinePlan
+
+            pipeline = PipelinePlan(
+                mesh=mesh,
+                num_microbatches=stage.train.pp_microbatches or 2 * pp,
+            )
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
         def loss_fn(params):
@@ -245,6 +257,7 @@ def make_train_step(
                 image_token_id=image_token_id,
                 rng=rng,
                 act_constraint=act_constraint,
+                pipeline=pipeline,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
