@@ -17,7 +17,8 @@ unverified (`evals/baseline.py --compare_quant --quant_mode w8a8`) — it is
 deliberately NOT the published headline until that gate clears.
 Modes: BENCH_MODE=e2e (query latency), =qa (pipeline samples/s),
 =train (stage-1 recipe step time / tokens/s / MFU), =serve (slot-engine
-continuous-batching requests/s).
+continuous-batching requests/s), =ring (>16-view on-chip evidence),
+=spec (prompt-lookup speculative decoding speedup).
 
 Timing note: this environment's tunneled TPU backend does not synchronize on
 ``block_until_ready`` — only host fetches synchronize — so timing fetches the
@@ -622,6 +623,120 @@ def ring_mode() -> None:
         raise SystemExit("ring/flash consistency out of tolerance")
 
 
+def spec_mode() -> None:
+    """BENCH_MODE=spec: prompt-lookup speculative decoding (greedy-exact;
+    ``inference/speculative.py``) vs the monolithic scan, on one chip.
+
+    Decode pays one full weight read per token; speculation verifies k+1
+    tokens per read, so the speedup equals the mean accepted block length
+    (workload-dependent). Two measurements bracket it:
+
+    1. high-acceptance: generation constrained to a repeating action-JSON-like
+       token cycle (the ARKit workload's structure — BASELINE.json config 5),
+       where the n-gram lookup predicts nearly everything after one period;
+    2. zero-acceptance: unconstrained random-weight text (no repetition), the
+       machinery's worst-case overhead vs ``generate``.
+
+    Real-workload acceptance lands between; the EM-gate is trivially exact
+    (token-identical outputs — tests/test_speculative.py). Knobs:
+    BENCH_SPEC_BATCH (default 1 — the latency case), BENCH_SPEC_K (drafts per
+    block, default 6), BENCH_SPEC_DECODE (default 64), BENCH_TINY=1.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vggt_qwen3_tpu.config import QWEN3_4B_INSTRUCT_2507, QWEN3_TINY
+    from vggt_qwen3_tpu.inference.engine import GenerationConfig, generate
+    from vggt_qwen3_tpu.inference.speculative import generate_speculative
+    from vggt_qwen3_tpu.models import qwen3
+
+    tiny = os.environ.get("BENCH_TINY") == "1"
+    cfg = QWEN3_TINY if tiny else QWEN3_4B_INSTRUCT_2507
+    B = int(os.environ.get("BENCH_SPEC_BATCH", "1"))
+    N = int(os.environ.get("BENCH_SPEC_DECODE", "16" if tiny else "64"))
+    k = int(os.environ.get("BENCH_SPEC_K", "4" if tiny else "6"))
+    prompt_len = 32
+
+    params = qwen3.init_params(jax.random.PRNGKey(0), cfg, dtype=cfg.dtype)
+    wq = _text_quant_mode()
+    if wq != "none" and not tiny:
+        params = qwen3.quantize_params(params, mode=wq)
+    np.asarray(jax.tree.leaves(params)[0][0])
+
+    # a forced repeating "JSON-ish" cycle: 12 distinct token states (about the
+    # period of {"action": "...", — the schema's repeated key skeleton)
+    cycle = [101, 5, 72, 880, 14, 3301, 9, 42, 7, 615, 23, 11]
+    cycle = [t % (cfg.vocab_size - 2) + 1 for t in cycle]  # fit tiny vocabs
+    assert len(set(cycle)) == len(cycle)
+    table = np.full((len(cycle), cfg.vocab_size), -1, np.int32)
+    for s, t in enumerate(cycle):
+        table[s, t] = (s + 1) % len(cycle)
+    constraint = jnp.asarray(table)
+
+    idsnp = np.random.default_rng(0).integers(1, cfg.vocab_size, (B, prompt_len))
+    # the ARKit system hint contains the JSON schema, so the skeleton's first
+    # occurrence is IN the prompt — mirror that: lookup warms up in ~2 blocks
+    idsnp[:, -len(cycle):] = cycle
+    ids = jnp.asarray(idsnp)
+    embeds = qwen3.embed_tokens(params, ids)
+    mask = jnp.ones((B, prompt_len), jnp.int32)
+    gen_cfg = GenerationConfig(max_new_tokens=N, pad_token_id=0, kv_dtype=_kv_dtype(tiny))
+
+    def run(fn, label):
+        out = fn()
+        np.asarray(out[0])
+        times = []
+        for _ in range(4):
+            t0 = time.time()
+            out = fn()
+            np.asarray(out[0])
+            times.append(time.time() - t0)
+        ms = min(times) * 1000
+        extra = f", {out[2]} fwd passes" if len(out) > 2 else ""
+        print(f"spec [{label}]: {ms:.1f} ms for {N} tok{extra}",
+              file=sys.stderr, flush=True)
+        return ms, (out[2] if len(out) > 2 else N)
+
+    base_ms, _ = run(
+        lambda: generate(params, cfg, gen_cfg, inputs_embeds=embeds,
+                         attention_mask=mask, constraint=constraint),
+        "generate, constrained")
+    spec_ms, iters = run(
+        lambda: generate_speculative(params, cfg, gen_cfg, inputs_embeds=embeds,
+                                     attention_mask=mask, prompt_ids=ids,
+                                     constraint=constraint, draft_k=k, ngram=3),
+        f"speculative k={k}, constrained")
+    base_free_ms, _ = run(
+        lambda: generate(params, cfg, gen_cfg, inputs_embeds=embeds,
+                         attention_mask=mask),
+        "generate, free")
+    spec_free_ms, free_iters = run(
+        lambda: generate_speculative(params, cfg, gen_cfg, inputs_embeds=embeds,
+                                     attention_mask=mask, prompt_ids=ids,
+                                     draft_k=k, ngram=3),
+        f"speculative k={k}, free (worst case)")
+
+    speedup = base_ms / spec_ms
+    print(
+        f"spec: JSON-structured speedup {speedup:.2f}× ({base_ms:.1f} → "
+        f"{spec_ms:.1f} ms, {iters} blocks for {N} tok = "
+        f"{N/max(iters,1):.1f} tok/weight-read); worst-case overhead "
+        f"{spec_free_ms/base_free_ms:.2f}× ({free_iters} blocks)",
+        file=sys.stderr, flush=True,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "spec_decode_json_speedup",
+                "value": round(speedup, 2),
+                "unit": "x",
+                "vs_baseline": round(speedup, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
 def _kv_dtype(tiny: bool):
     if tiny:
         return None
@@ -647,6 +762,8 @@ def main() -> None:
         return serve_mode()
     if os.environ.get("BENCH_MODE") == "ring":
         return ring_mode()
+    if os.environ.get("BENCH_MODE") == "spec":
+        return spec_mode()
 
     tiny = os.environ.get("BENCH_TINY") == "1"
     cfg = QWEN3_TINY if tiny else QWEN3_4B_INSTRUCT_2507

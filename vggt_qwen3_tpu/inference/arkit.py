@@ -59,12 +59,17 @@ def run_inference(
     compute_metrics: bool = True,
     verbose: bool = True,
     constrained_json: bool = False,
+    speculative: bool = False,
 ) -> Tuple[List[Dict], Optional[Dict[str, float]]]:
     """``constrained_json=True`` masks the decode to the action-JSON schema
     FSM (``inference/constrained.py``) — every generation is a parseable
     ``{action, scene, center, normal, extent}`` object by construction.
     OFF by default: parity/EM runs reproduce the reference's free decode +
-    post-hoc brace extraction (``arkit_inference.py:166-179``)."""
+    post-hoc brace extraction (``arkit_inference.py:166-179``).
+
+    ``speculative=True`` decodes via prompt-lookup speculative blocks
+    (token-exact — ``inference/speculative.py``); the action JSON's repeated
+    key skeleton is the high-acceptance case. OFF by default."""
     gen_cfg = GenerationConfig(
         max_new_tokens=max_new_tokens,
         eos_token_id=tokenizer.eos_token_id,
@@ -100,6 +105,7 @@ def run_inference(
         tokens, lengths = generate_batch(
             params, stage, tokenizer, chunk, prompts, gen_cfg,
             pad_to_len=pad_to_len, pad_to_batch=batch_size, constraint=constraint,
+            speculative=speculative,
         )
 
         for j, sample in enumerate(chunk):
@@ -167,6 +173,11 @@ def main() -> None:
         help="FSM-mask the decode to the action-JSON schema (100%% parseable "
              "outputs); off by default for reference parity",
     )
+    p.add_argument(
+        "--speculative", action="store_true",
+        help="prompt-lookup speculative decode (token-exact; fastest on the "
+             "repetitive action-JSON structure)",
+    )
     args = p.parse_args()
 
     stage = build_stage(args)
@@ -182,6 +193,7 @@ def main() -> None:
         batch_size=args.batch_size,
         output_path=Path(args.output_jsonl) if args.output_jsonl else None,
         constrained_json=args.constrained_json,
+        speculative=args.speculative,
     )
     print(f"total {time.time()-t0:.1f}s")
 

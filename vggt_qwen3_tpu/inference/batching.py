@@ -64,6 +64,15 @@ def _vision_splice_generate(
     )
 
 
+@partial(jax.jit, static_argnames=("model_cfg", "image_token_id"))
+def _vision_splice(params, model_cfg, image_token_id, images, ids, mask):
+    """Vision → Perceiver → embed → splice as one program (the speculative
+    path's prep; decode then runs its own host-driven block loop)."""
+    vis = vlm.encode_images(params, model_cfg, images)
+    embeds = qwen3.embed_tokens(params["text"], ids)
+    return vlm.splice_expand(embeds, mask, ids, vis, image_token_id)
+
+
 def generate_batch(
     params,
     stage: StageConfig,
@@ -75,12 +84,18 @@ def generate_batch(
     pad_to_len: int,
     pad_to_batch: Optional[int] = None,
     constraint: Optional[jnp.ndarray] = None,
+    speculative: bool = False,
+    draft_k: int = 6,
+    ngram: int = 3,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Run one spliced-prompt generation batch.
 
     Returns (tokens [n, max_new], lengths [n]) for the n REAL samples —
     batch-padding rows are trimmed before returning. ``constraint``: optional
     FSM table for schema-constrained decode (``inference/constrained.py``).
+    ``speculative``: decode via prompt-lookup speculative blocks
+    (``inference/speculative.py`` — token-exact; the TEXT prompt ids seed the
+    draft memory, so schema text in the system hint is draftable).
     """
     n = len(samples)
     if pad_to_batch and n < pad_to_batch:
@@ -93,7 +108,20 @@ def generate_batch(
     images = stack_views(samples, stage.data.image_size)
 
     image_token_id = tokenizer.convert_tokens_to_ids(IMAGE_TOKEN)
-    tokens, lengths = _vision_splice_generate(
-        params, stage.model, gen_cfg, image_token_id, images, ids, mask, constraint
-    )
+    if speculative:
+        from .speculative import generate_speculative
+
+        embeds, mask2 = _vision_splice(
+            params, stage.model, image_token_id, images, ids, mask
+        )
+        tokens, lengths, _ = generate_speculative(
+            params["text"], stage.model.text, gen_cfg,
+            inputs_embeds=embeds, attention_mask=mask2,
+            lookup_ids=ids, lookup_mask=mask,
+            constraint=constraint, draft_k=draft_k, ngram=ngram,
+        )
+    else:
+        tokens, lengths = _vision_splice_generate(
+            params, stage.model, gen_cfg, image_token_id, images, ids, mask, constraint
+        )
     return np.asarray(tokens)[:n], np.asarray(lengths)[:n]

@@ -187,11 +187,14 @@ def forward_hidden(
             ``cache_offset + arange(S)``.
         cache: optional KV cache from :func:`init_cache`; updated copy returned.
         cache_offset: slot index where this segment's KV entries are written.
-            May be a **[B] array of per-row offsets** when ``S == 1`` — the
-            continuous-batching decode path, where every sequence sits at its
-            own depth in its cache row; writes become per-row scatters and the
-            causal constraint must then be expressed via ``attention_mask``
-            (each row's mask covers exactly its own written columns).
+            May be a **[B] array of per-row offsets** — the continuous-batching
+            decode path (``S == 1``) or the speculative block-verify path
+            (``S > 1``), where every sequence sits at its own depth in its
+            cache row; writes become per-row scatters and the causal
+            constraint must then be expressed via ``attention_mask`` — a
+            ``[B, T]`` frontier mask for single-token decode, or a
+            ``[B, S, T]`` per-query mask for block verify (each query covers
+            its own row frontier plus the in-block causal prefix).
         prefill_padding: 'left' | 'right' — declares the prompt's padding as
             contiguous, unlocking the Pallas flash-attention prefill path
             (inference only; the kernel has no VJP). Requires
@@ -205,15 +208,20 @@ def forward_hidden(
     """
     B, S, _ = inputs_embeds.shape
     kv_len = cache["k"].shape[2] if cache is not None else S
-    # [B] cache_offset → per-row scatter decode (continuous batching)
+    # [B] cache_offset → per-row scatter decode (continuous batching; S > 1 is
+    # the ragged block-verify path of speculative decoding — each row appends
+    # an S-token block at its own depth)
     per_row = getattr(cache_offset, "ndim", 0) == 1
     if per_row:
-        assert S == 1, "per-row cache offsets require single-token decode (S=1)"
         assert cache is not None and attention_mask is not None
+        if S > 1:
+            assert attention_mask.ndim == 3, (
+                "per-row block decode (S > 1) needs a [B, S, T] per-query mask"
+            )
 
     if positions is None:
         if per_row:
-            positions = cache_offset[:, None]
+            positions = cache_offset[:, None] + jnp.arange(S)[None, :]
         else:
             positions = cache_offset + jnp.arange(S)[None, :]
             positions = jnp.broadcast_to(positions, (B, S))
@@ -221,7 +229,10 @@ def forward_hidden(
 
     pad = None
     if attention_mask is not None:
-        pad = attention_mask[:, None, None, :].astype(bool)
+        if attention_mask.ndim == 3:  # [B, S_q, T] per-query-position mask
+            pad = attention_mask[:, None, :, :].astype(bool)
+        else:
+            pad = attention_mask[:, None, None, :].astype(bool)
     if per_row:
         # the per-row key mask is the causal frontier — no triangular mask
         mask = pad
@@ -263,10 +274,12 @@ def forward_hidden(
         def write_kv(c, li, name, val):
             """KV write for this layer: contiguous slice update at a scalar
             offset, or a per-row scatter at [B] offsets (continuous-batching
-            decode — each sequence appends at its own depth)."""
+            decode / speculative block verify — each sequence appends its
+            S-token block at its own depth)."""
             buf = c[name]
             if per_row:
-                return buf.at[li, rows, cache_offset].set(val[:, 0].astype(buf.dtype))
+                offs = cache_offset[:, None] + jnp.arange(val.shape[1])[None, :]
+                return buf.at[li, rows[:, None], offs].set(val.astype(buf.dtype))
             starts = (li, 0, cache_offset) + (0,) * (buf.ndim - 3)
             return jax.lax.dynamic_update_slice(buf, val.astype(buf.dtype)[None], starts)
 
