@@ -132,37 +132,33 @@ def e2e_mode() -> None:
     # 1-2 words median (outputs/qa/baseline_eval/*.jsonl "reference" fields).
     # A per-row budget of k tokens does exactly the work of EOS-at-k, so the
     # curve below is the honest "query whose answer is k tokens" latency on
-    # ONE chip (chunked decode, pipelined all-done flag — engine.py).
-    from vggt_qwen3_tpu.inference.engine import generate_early_exit
+    # ONE chip: the ENTIRE query (vision → splice → prefill → while_loop
+    # decode → pack) is one compiled program, one dispatch + one fetch —
+    # budgets live on device so nothing else crosses the tunnel.
+    from vggt_qwen3_tpu.inference.batching import _vision_splice_early_exit
 
-    @jax.jit
-    def prep(params, images, ids):
-        vis = vlm.encode_images(params, cfg, images)
-        emb = qwen3.embed_tokens(params["text"], ids)
-        mask = jnp.ones(ids.shape, jnp.int32)
-        return vlm.splice_expand(emb, mask, ids.at[:, 10].set(img_id), vis, img_id)
+    mask1 = jnp.ones(ids.shape, jnp.int32)
+    ids_img = ids.at[:, 10].set(img_id)
+    budgets = {k: jnp.asarray(np.full((1,), k, np.int32)) for k in (2, 4, 8, 16, 32)}
 
-    chunk = int(os.environ.get("BENCH_EE_CHUNK", "8"))
-
-    def ee_query(k: int) -> int:
-        emb2, mask2 = prep(params, images, ids)
-        toks, _, nch = generate_early_exit(
-            params["text"], cfg.text, gen_cfg, inputs_embeds=emb2,
-            attention_mask=mask2, budget=np.full((1,), k, np.int32), chunk=chunk,
+    def ee_query(k: int):
+        packed, steps = _vision_splice_early_exit(
+            params, cfg, gen_cfg, img_id, images, ids_img, mask1,
+            budget=budgets[k],
         )
-        np.asarray(toks)
-        return nch
+        np.asarray(packed)  # the one sync; `steps` stays on device
+        return steps
 
-    ee_query(32)  # compile prefill-carry + chunk programs once
+    ee_query(32)  # compile the one-program query once
     for k in (2, 4, 8, 16, 32):
         etimes = []
         for _ in range(4):
             t0 = time.time()
-            nch = ee_query(k)
+            steps = ee_query(k)
             etimes.append(time.time() - t0)
         print(
-            f"e2e early-exit (chunk {chunk}): answer_len={k:>2} → "
-            f"{min(etimes) * 1000:.1f} ms ({nch} chunks dispatched)",
+            f"e2e early-exit (one program): answer_len={k:>2} → "
+            f"{min(etimes) * 1000:.1f} ms ({int(steps)} steps)",
             file=sys.stderr, flush=True,
         )
 

@@ -137,7 +137,8 @@ def test_eos_stop_and_pad_fill(pair):
 from vggt_qwen3_tpu.inference.engine import generate_early_exit  # noqa: E402
 
 
-def test_early_exit_token_exact_vs_generate(pair):
+@pytest.mark.parametrize("mode", ["fused", "chunked"])
+def test_early_exit_token_exact_vs_generate(pair, mode):
     """Full-budget early-exit run is bit-identical to the monolithic scan
     (processors + EOS/pad semantics), including a ragged last chunk."""
     _, cfg, params = pair
@@ -147,15 +148,18 @@ def test_early_exit_token_exact_vs_generate(pair):
     mask = jnp.ones((2, 9))
     gen_cfg = GenerationConfig(max_new_tokens=14, repetition_penalty=1.1, pad_token_id=0)
     ref_toks, ref_lens = generate(params, cfg, gen_cfg, inputs_embeds=jemb, attention_mask=mask)
-    toks, lens, dispatched = generate_early_exit(
-        params, cfg, gen_cfg, inputs_embeds=jemb, attention_mask=mask, chunk=4
+    toks, lens, n = generate_early_exit(
+        params, cfg, gen_cfg, inputs_embeds=jemb, attention_mask=mask, chunk=4,
+        mode=mode,
     )
     assert np.asarray(toks).tolist() == np.asarray(ref_toks).tolist()
     assert np.asarray(lens).tolist() == np.asarray(ref_lens).tolist()
-    assert dispatched == 4  # ceil(14/4): no early stop without EOS/budget
+    # no early stop without EOS/budget: 14 steps (fused) / ceil(14/4) chunks
+    assert n == (14 if mode == "fused" else 4)
 
 
-def test_early_exit_stops_early_on_eos(pair):
+@pytest.mark.parametrize("mode", ["fused", "chunked"])
+def test_early_exit_stops_early_on_eos(pair, mode):
     _, cfg, params = pair
     rng = np.random.default_rng(6)
     ids = rng.integers(1, cfg.vocab_size, size=(1, 8))
@@ -168,17 +172,19 @@ def test_early_exit_stops_early_on_eos(pair):
 
     gen_cfg = GenerationConfig(max_new_tokens=24, eos_token_id=eos, pad_token_id=0)
     ref_toks, ref_lens = generate(params, cfg, gen_cfg, inputs_embeds=jemb, attention_mask=mask)
-    toks, lens, dispatched = generate_early_exit(
-        params, cfg, gen_cfg, inputs_embeds=jemb, attention_mask=mask, chunk=4
+    toks, lens, n = generate_early_exit(
+        params, cfg, gen_cfg, inputs_embeds=jemb, attention_mask=mask, chunk=4,
+        mode=mode,
     )
     assert np.asarray(toks).tolist() == np.asarray(ref_toks).tolist()
     assert np.asarray(lens).tolist() == np.asarray(ref_lens).tolist()
-    # EOS lands in chunk 0 (≤4 tokens); the pipelined flag check stops the
-    # loop one chunk later — far short of the 6 full chunks
-    assert dispatched <= 2
+    # EOS at token 3 of 24: fused while stops at step 3; chunked stops one
+    # pipelined chunk after chunk 0 — both far short of the full run
+    assert n <= (3 if mode == "fused" else 2)
 
 
-def test_early_exit_per_row_budget(pair):
+@pytest.mark.parametrize("mode", ["fused", "chunked"])
+def test_early_exit_per_row_budget(pair, mode):
     """Budget-finished rows emit exactly `budget` tokens (a prefix of the
     unbudgeted stream) then pads; lengths report the budget."""
     _, cfg, params = pair
@@ -190,13 +196,14 @@ def test_early_exit_per_row_budget(pair):
     ref_toks, _ = generate(params, cfg, gen_cfg, inputs_embeds=jemb, attention_mask=mask)
     ref_toks = np.asarray(ref_toks)
 
-    toks, lens, dispatched = generate_early_exit(
+    toks, lens, n = generate_early_exit(
         params, cfg, gen_cfg, inputs_embeds=jemb, attention_mask=mask,
-        budget=np.array([5, 3]), chunk=4,
+        budget=np.array([5, 3]), chunk=4, mode=mode,
     )
     toks = np.asarray(toks)
     assert toks[0, :5].tolist() == ref_toks[0, :5].tolist()
     assert toks[1, :3].tolist() == ref_toks[1, :3].tolist()
     assert (toks[0, 5:] == 0).all() and (toks[1, 3:] == 0).all()
     assert np.asarray(lens).tolist() == [5, 3]
-    assert dispatched <= 3  # both budgets land in chunks 0-1 → stop by 3
+    # slowest row's budget is 5: fused stops at step 5; chunked by chunk 3
+    assert n <= (5 if mode == "fused" else 3)

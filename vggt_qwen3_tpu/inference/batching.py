@@ -73,6 +73,28 @@ def _vision_splice(params, model_cfg, image_token_id, images, ids, mask):
     return vlm.splice_expand(embeds, mask, ids, vis, image_token_id)
 
 
+@partial(jax.jit, static_argnames=("model_cfg", "gen_cfg", "image_token_id"))
+def _vision_splice_early_exit(
+    params, model_cfg, gen_cfg, image_token_id, images, ids, mask,
+    budget=None, constraint=None,
+):
+    """The full query with EOS/budget early exit as ONE compiled program:
+    VGGT → Perceiver → embed → splice → prefill → while_loop decode → pack.
+    One dispatch + one fetch per query — a query whose answer is k tokens
+    pays prefill + k decode steps, nothing else (the deployment's answers
+    are 1-2 words median). Returns (packed [B, N+1] = tokens | n_gen, steps)."""
+    from .engine import early_exit_fused_body
+
+    vis = vlm.encode_images(params, model_cfg, images)
+    embeds = qwen3.embed_tokens(params["text"], ids)
+    embeds, mask2 = vlm.splice_expand(embeds, mask, ids, vis, image_token_id)
+    return early_exit_fused_body(
+        params["text"], model_cfg.text, gen_cfg,
+        inputs_embeds=embeds, attention_mask=mask2,
+        budget=budget, constraint=constraint,
+    )
+
+
 def generate_batch(
     params,
     stage: StageConfig,
@@ -87,6 +109,7 @@ def generate_batch(
     speculative: bool = False,
     draft_k: int = 6,
     ngram: int = 3,
+    early_exit: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Run one spliced-prompt generation batch.
 
@@ -96,6 +119,9 @@ def generate_batch(
     ``speculative``: decode via prompt-lookup speculative blocks
     (``inference/speculative.py`` — token-exact; the TEXT prompt ids seed the
     draft memory, so schema text in the system hint is draftable).
+    ``early_exit``: stop decoding the moment every row hit EOS (fused
+    while_loop — token-exact, ``engine.generate_early_exit``); wins when
+    answers are much shorter than ``max_new_tokens``.
     """
     n = len(samples)
     if pad_to_batch and n < pad_to_batch:
@@ -120,6 +146,20 @@ def generate_batch(
             lookup_ids=ids, lookup_mask=mask,
             constraint=constraint, draft_k=draft_k, ngram=ngram,
         )
+    elif early_exit:
+        N = gen_cfg.max_new_tokens
+        packed, _ = _vision_splice_early_exit(
+            params, stage.model, gen_cfg, image_token_id, images, ids, mask,
+            constraint=constraint,
+        )
+        packed = np.asarray(packed)
+        tokens, n_gen = packed[:, :N], packed[:, N]
+        if gen_cfg.eos_token_id is not None:
+            is_eos = tokens == gen_cfg.eos_token_id
+            seen = np.cumsum(is_eos.astype(np.int32), axis=-1) - is_eos.astype(np.int32)
+            lengths = np.minimum((seen == 0).astype(np.int32).sum(-1), n_gen)
+        else:
+            lengths = n_gen
     else:
         tokens, lengths = _vision_splice_generate(
             params, stage.model, gen_cfg, image_token_id, images, ids, mask, constraint

@@ -182,8 +182,7 @@ def generate(
 # what is computed (locked by ``tests/test_generation_parity.py``).
 
 
-@partial(jax.jit, static_argnames=("cfg", "gen_cfg"))
-def _prefill_carry(
+def _prefill_carry_body(
     params,
     cfg: Qwen3Config,
     gen_cfg: GenerationConfig,
@@ -232,6 +231,48 @@ def _prefill_carry(
             fsm_state, n_gen, budget, out)
 
 
+_prefill_carry = partial(jax.jit, static_argnames=("cfg", "gen_cfg"))(_prefill_carry_body)
+
+
+def _ee_step(params, cfg, gen_cfg, constraint, S, carry, t):
+    """One early-exit decode step at global step ``t`` — ``generate``'s step
+    body plus per-row budget exhaustion folding into ``done``."""
+    (cache, mask, next_logits, next_pos, seen_ids, seen_len, done,
+     fsm_state, n_gen, budget, out) = carry
+    B = next_logits.shape[0]
+    logits = _processors(next_logits, seen_ids, seen_len, gen_cfg)
+    if constraint is not None:
+        allowed = constraint[fsm_state] >= 0
+        cand = jnp.where(allowed, logits, -jnp.inf)
+        feasible = jnp.isfinite(cand).any(axis=-1, keepdims=True)
+        raw_cand = jnp.where(allowed, next_logits, -jnp.inf)
+        logits = jnp.where(feasible, cand, raw_cand)
+    tok = greedy_token(logits)
+    if constraint is not None:
+        nxt = constraint[fsm_state, tok]
+        fsm_state = jnp.where(done, fsm_state, jnp.maximum(nxt, 0))
+    out_tok = jnp.where(done, gen_cfg.pad_token_id, tok)
+    n_gen = jnp.where(done, n_gen, n_gen + 1)
+    if gen_cfg.eos_token_id is not None:
+        done_next = done | (tok == gen_cfg.eos_token_id)
+    else:
+        done_next = done
+    done_next = done_next | (n_gen >= budget)
+
+    seen_ids = seen_ids.at[jnp.arange(B), jnp.clip(seen_len, 0, seen_ids.shape[1] - 1)].set(out_tok)
+    seen_len = seen_len + 1
+    out = out.at[:, t].set(out_tok)
+
+    mask = mask.at[:, S + t].set(1)
+    emb = qwen3.embed_tokens(params, out_tok[:, None])
+    logits_new, cache = qwen3.forward(
+        params, cfg, inputs_embeds=emb, attention_mask=mask,
+        positions=(next_pos + t)[:, None], cache=cache, cache_offset=S + t,
+    )
+    return (cache, mask, logits_new[:, 0], next_pos, seen_ids, seen_len,
+            done_next, fsm_state, n_gen, budget, out)
+
+
 @partial(jax.jit, static_argnames=("cfg", "gen_cfg", "chunk"), donate_argnums=(1,))
 def _early_exit_chunk(
     params,
@@ -244,56 +285,67 @@ def _early_exit_chunk(
 ):
     """Advance the decode carry ``chunk`` steps starting at global step ``t0``.
 
-    Returns ``(carry, all_done scalar)``; the step body is ``generate``'s,
-    plus per-row budget exhaustion folding into ``done``. Tokens accumulate
-    in the carry's device-side ``out`` buffer — fetched ONCE by
-    ``_early_exit_pack`` at the end, because on a tunneled backend every
-    separate host fetch costs a full round-trip (~40 ms here; per-chunk
-    token fetches measured +160 ms on a 4-chunk query)."""
+    Returns ``(carry, all_done scalar)``. Tokens accumulate in the carry's
+    device-side ``out`` buffer — fetched ONCE by ``_early_exit_pack`` at the
+    end, because on a tunneled backend every separate host fetch costs a full
+    round-trip (~40 ms here; per-chunk token fetches measured +160 ms on a
+    4-chunk query)."""
     N = gen_cfg.max_new_tokens
-    B = carry[2].shape[0]
     S = carry[1].shape[1] - N  # mask width is S + N
 
     def step(carry, t):
-        (cache, mask, next_logits, next_pos, seen_ids, seen_len, done,
-         fsm_state, n_gen, budget, out) = carry
-        logits = _processors(next_logits, seen_ids, seen_len, gen_cfg)
-        if constraint is not None:
-            allowed = constraint[fsm_state] >= 0
-            cand = jnp.where(allowed, logits, -jnp.inf)
-            feasible = jnp.isfinite(cand).any(axis=-1, keepdims=True)
-            raw_cand = jnp.where(allowed, next_logits, -jnp.inf)
-            logits = jnp.where(feasible, cand, raw_cand)
-        tok = greedy_token(logits)
-        if constraint is not None:
-            nxt = constraint[fsm_state, tok]
-            fsm_state = jnp.where(done, fsm_state, jnp.maximum(nxt, 0))
-        out_tok = jnp.where(done, gen_cfg.pad_token_id, tok)
-        n_gen = jnp.where(done, n_gen, n_gen + 1)
-        if gen_cfg.eos_token_id is not None:
-            done_next = done | (tok == gen_cfg.eos_token_id)
-        else:
-            done_next = done
-        done_next = done_next | (n_gen >= budget)
-
-        seen_ids = seen_ids.at[jnp.arange(B), jnp.clip(seen_len, 0, seen_ids.shape[1] - 1)].set(out_tok)
-        seen_len = seen_len + 1
-        out = out.at[:, t].set(out_tok)
-
-        mask = mask.at[:, S + t].set(1)
-        emb = qwen3.embed_tokens(params, out_tok[:, None])
-        logits_new, cache = qwen3.forward(
-            params, cfg, inputs_embeds=emb, attention_mask=mask,
-            positions=(next_pos + t)[:, None], cache=cache, cache_offset=S + t,
-        )
-        carry = (cache, mask, logits_new[:, 0], next_pos, seen_ids, seen_len,
-                 done_next, fsm_state, n_gen, budget, out)
-        return carry, None
+        return _ee_step(params, cfg, gen_cfg, constraint, S, carry, t), None
 
     carry, _ = jax.lax.scan(step, carry, t0 + jnp.arange(chunk))
     # all_done is a fresh scalar (never aliases the donated carry) the host
     # fetches one chunk late — see generate_early_exit
     return carry, carry[6].all()
+
+
+def early_exit_fused_body(
+    params,
+    cfg: Qwen3Config,
+    gen_cfg: GenerationConfig,
+    *,
+    inputs_embeds: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    prompt_ids: Optional[jnp.ndarray] = None,
+    budget: Optional[jnp.ndarray] = None,
+    constraint: Optional[jnp.ndarray] = None,
+):
+    """Prefill + EOS/budget-exiting decode as ONE compiled region: a
+    ``lax.while_loop`` over single-token steps that stops the moment every
+    row is done. One dispatch + one fetch per query — on the tunneled
+    backend the chunked host loop pays ~35 ms per chunk, which dominates the
+    short-answer latencies this path exists for.
+
+    This is the traceable BODY (plain function) so callers can inline it
+    into a larger jitted program — e.g. ``batching.py`` fuses vision →
+    splice → this into one dispatch per query. Returns
+    ``(packed [B, N+1] = out | n_gen, steps scalar)``."""
+    N = gen_cfg.max_new_tokens
+    S = inputs_embeds.shape[1]
+    carry = _prefill_carry_body(
+        params, cfg, gen_cfg, inputs_embeds=inputs_embeds,
+        attention_mask=attention_mask, prompt_ids=prompt_ids, budget=budget,
+    )
+
+    def cond(state):
+        carry, t = state
+        return jnp.logical_and(~carry[6].all(), t < N)
+
+    def body(state):
+        carry, t = state
+        return _ee_step(params, cfg, gen_cfg, constraint, S, carry, t), t + 1
+
+    carry, steps = jax.lax.while_loop(cond, body, (carry, jnp.zeros((), jnp.int32)))
+    out, n_gen = carry[10], carry[8]
+    return jnp.concatenate([out, n_gen[:, None]], axis=1), steps
+
+
+_early_exit_fused = partial(jax.jit, static_argnames=("cfg", "gen_cfg"))(
+    early_exit_fused_body
+)
 
 
 @jax.jit
@@ -314,46 +366,63 @@ def generate_early_exit(
     constraint: Optional[jnp.ndarray] = None,
     budget: Optional[jnp.ndarray] = None,
     chunk: int = 8,
+    mode: str = "fused",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
-    """``generate`` with chunked EOS/budget early exit (host-driven).
+    """``generate`` with EOS/budget early exit.
 
     Args match :func:`generate`, plus:
         budget: optional [B] int32 per-row token budgets (≤ max_new_tokens);
             a row finishes after emitting its budget, like the slot engine's
             per-request budgets.
-        chunk: decode steps per compiled chunk. Latency for a query whose
-            rows all finish by step k ≈ prefill + ceil(k/chunk)+1 chunks
-            (the +1 is the pipelining lag hiding the flag-fetch round-trip).
+        chunk: (mode="chunked") decode steps per compiled chunk. Latency for
+            a query whose rows all finish by step k ≈ prefill +
+            ceil(k/chunk)+1 chunks (the +1 is the pipelining lag hiding the
+            flag-fetch round-trip).
+        mode: "fused" (default) — prefill + while_loop decode + pack as ONE
+            program, one dispatch/fetch per query; "chunked" — one program
+            per chunk with a pipelined done-flag fetch (for callers that
+            stream between chunks).
 
     Returns ``(tokens [B, max_new_tokens] — pad-filled after finish,
-    lengths [B], chunks_dispatched)``. Tokens/lengths are bit-identical to
+    lengths [B], n)`` where ``n`` counts decode steps executed (fused) or
+    chunks dispatched (chunked). Tokens/lengths are bit-identical to
     ``generate`` when budgets are full.
     """
     N = gen_cfg.max_new_tokens
-    carry = _prefill_carry(
-        params, cfg, gen_cfg, inputs_embeds=inputs_embeds,
-        attention_mask=attention_mask, prompt_ids=prompt_ids,
-        budget=None if budget is None else jnp.asarray(budget, jnp.int32),
-    )
-    prev_flag = None
-    dispatched = 0
-    t = 0
-    while t < N:
-        size = min(chunk, N - t)
-        carry, all_done = _early_exit_chunk(
-            params, carry, cfg, gen_cfg, size, jnp.int32(t), constraint
+    budget = None if budget is None else jnp.asarray(budget, jnp.int32)
+    if mode == "fused":
+        packed, steps = _early_exit_fused(
+            params, cfg, gen_cfg, inputs_embeds=inputs_embeds,
+            attention_mask=attention_mask, prompt_ids=prompt_ids,
+            budget=budget, constraint=constraint,
         )
-        dispatched += 1
-        t += size
-        # check the PREVIOUS chunk's flag while this one computes: the fetch
-        # blocks only until that chunk finished, so the round-trip overlaps
-        # the in-flight chunk instead of serializing on it. One chunk of
-        # (pad-emitting) overshoot when it fires — outputs unaffected.
-        if prev_flag is not None and bool(np.asarray(prev_flag)):
-            break
-        prev_flag = all_done
-
-    packed = np.asarray(_early_exit_pack(carry))  # the ONLY bulk fetch
+        packed = np.asarray(packed)
+        dispatched = int(steps)
+    else:
+        carry = _prefill_carry(
+            params, cfg, gen_cfg, inputs_embeds=inputs_embeds,
+            attention_mask=attention_mask, prompt_ids=prompt_ids,
+            budget=budget,
+        )
+        prev_flag = None
+        dispatched = 0
+        t = 0
+        while t < N:
+            size = min(chunk, N - t)
+            carry, all_done = _early_exit_chunk(
+                params, carry, cfg, gen_cfg, size, jnp.int32(t), constraint
+            )
+            dispatched += 1
+            t += size
+            # check the PREVIOUS chunk's flag while this one computes: the
+            # fetch blocks only until that chunk finished, so the round-trip
+            # overlaps the in-flight chunk instead of serializing on it. One
+            # chunk of (pad-emitting) overshoot when it fires — outputs
+            # unaffected.
+            if prev_flag is not None and bool(np.asarray(prev_flag)):
+                break
+            prev_flag = all_done
+        packed = np.asarray(_early_exit_pack(carry))  # the ONLY bulk fetch
     out, n_gen = packed[:, :N], packed[:, N]
     if gen_cfg.eos_token_id is not None:
         is_eos = out == gen_cfg.eos_token_id

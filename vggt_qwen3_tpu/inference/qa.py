@@ -110,7 +110,12 @@ def run_inference(
     quantize: bool = False,
     kv_dtype: Optional[str] = None,
     quant_mode: str = "w8",
+    early_exit: bool = True,
 ) -> List[Dict]:
+    """``early_exit`` (default on): each batch stops decoding once every row
+    hit EOS (token-exact — ``engine.generate_early_exit`` fused mode); with
+    the deployment's 1-2-word answers this skips most of the 32-step budget.
+    Disable (``--no_early_exit``) to force the fixed-length scan."""
     if quantize:  # quantized serving mode (weights + embedding/LM head)
         from ..models import qwen3
 
@@ -142,6 +147,7 @@ def run_inference(
         tokens, lengths = generate_batch(
             params, stage, tokenizer, chunk, prompts, gen_cfg,
             pad_to_len=pad_to_len, pad_to_batch=batch_size,
+            early_exit=early_exit,
         )
 
         for j, sample in enumerate(chunk):
@@ -217,6 +223,11 @@ def main() -> None:
     p.add_argument("--data_root", default=None)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--mock_vision", action="store_true")
+    p.add_argument(
+        "--no_early_exit", action="store_true",
+        help="force the fixed-length decode scan (outputs are identical "
+             "either way; early exit just skips steps after every row's EOS)",
+    )
     args = p.parse_args()
 
     stage = build_stage(args)
@@ -239,6 +250,7 @@ def main() -> None:
         max_new_tokens=args.max_new_tokens,
         batch_size=args.batch_size,
         output_path=Path(args.output_jsonl) if args.output_jsonl else None,
+        early_exit=not args.no_early_exit,
     )
 
 
