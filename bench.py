@@ -720,6 +720,75 @@ def spec_mode() -> None:
         f"{spec_free_ms/base_free_ms:.2f}× ({free_iters} blocks)",
         file=sys.stderr, flush=True,
     )
+
+    # Full ARKit-style ACTION QUERY e2e: 448² view → VGGT → splice → prefill
+    # → constrained JSON decode — monolithic scan vs one-program speculative.
+    if os.environ.get("BENCH_SPEC_E2E", "1") == "1":
+        from vggt_qwen3_tpu.config import PerceiverConfig, VGGT_1B, VGGT_TINY, VLMConfig
+        from vggt_qwen3_tpu.inference.batching import (
+            _vision_splice_generate,
+            _vision_splice_speculative,
+        )
+        from vggt_qwen3_tpu.models import vlm
+
+        vcfg = VLMConfig(
+            text=cfg, vision=VGGT_TINY if tiny else VGGT_1B,
+            projector=PerceiverConfig() if not tiny else PerceiverConfig(
+                latent_dim=64, num_latents=16, num_heads=4, num_layers=2, ffn_dim=128),
+            num_vis_tokens=16 if tiny else 128, geom_tokens=0,
+            dtype=cfg.dtype,
+        )
+        px = 56 if tiny else 448
+        # init ONLY vision/projector/geom — a full vlm.init_params would
+        # transiently allocate a second bf16 copy of the 4B text weights next
+        # to the resident quantized ones and OOM the chip
+        from vggt_qwen3_tpu.models import geom as geom_mod, perceiver, vggt
+
+        kv_, kp_, kg_ = jax.random.split(jax.random.PRNGKey(1), 3)
+        vparams = {
+            "text": params,  # reuse the (quantized) text weights
+            "projector": jax.jit(
+                lambda kk: perceiver.init_params(
+                    kk, vcfg.projector, in_dim=vcfg.vision_out_dim,
+                    out_dim=cfg.hidden_size, dtype=cfg.dtype)
+            )(kp_),
+            "geom": geom_mod.init_params(kg_, cfg.hidden_size, dtype=cfg.dtype),
+            "vision": jax.jit(
+                lambda kk: vggt.init_params(kk, vcfg.vision, dtype=cfg.dtype)
+            )(kv_),
+        }
+        np.asarray(jax.tree.leaves(vparams["vision"])[0][0])
+        img_id = cfg.vocab_size - 1
+        images = jnp.asarray(
+            np.random.default_rng(0).uniform(0, 1, (1, 1, 3, px, px)), cfg.dtype)
+        aidsnp = np.random.default_rng(2).integers(1, cfg.vocab_size, (1, prompt_len))
+        aidsnp[:, -len(cycle):] = cycle
+        aidsnp[:, 4] = img_id
+        aids = jnp.asarray(aidsnp)
+        amask = jnp.ones((1, prompt_len), jnp.int32)
+        NA = int(os.environ.get("BENCH_SPEC_ACTION_TOKENS", "16" if tiny else "96"))
+        agen = GenerationConfig(max_new_tokens=NA, pad_token_id=0, kv_dtype=_kv_dtype(tiny))
+
+        def mono_action():
+            toks, _ = _vision_splice_generate(
+                vparams, vcfg, agen, img_id, images, aids, amask, constraint)
+            np.asarray(toks)
+            return (NA,)
+
+        def spec_action():
+            packed, it = _vision_splice_speculative(
+                vparams, vcfg, agen, img_id, k, 3, images, aids, amask,
+                constraint=constraint)
+            np.asarray(packed)
+            return (packed, 0, it)
+
+        a_ms, _ = run(mono_action, f"action query {NA} tok, monolithic")
+        s_ms, a_iters = run(spec_action, f"action query {NA} tok, speculative")
+        print(
+            f"spec: action-query e2e {a_ms:.1f} → {s_ms:.1f} ms "
+            f"({a_ms/s_ms:.2f}×, {int(np.asarray(a_iters))} weight reads for {NA} tok)",
+            file=sys.stderr, flush=True,
+        )
     print(
         json.dumps(
             {

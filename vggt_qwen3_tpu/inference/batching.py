@@ -64,13 +64,26 @@ def _vision_splice_generate(
     )
 
 
-@partial(jax.jit, static_argnames=("model_cfg", "image_token_id"))
-def _vision_splice(params, model_cfg, image_token_id, images, ids, mask):
-    """Vision → Perceiver → embed → splice as one program (the speculative
-    path's prep; decode then runs its own host-driven block loop)."""
+@partial(jax.jit, static_argnames=("model_cfg", "gen_cfg", "image_token_id", "draft_k", "ngram"))
+def _vision_splice_speculative(
+    params, model_cfg, gen_cfg, image_token_id, draft_k, ngram,
+    images, ids, mask, budget=None, constraint=None,
+):
+    """The full query with prompt-lookup speculative decode as ONE compiled
+    program (vision → splice → prefill → while_loop over verify blocks →
+    pack). The TEXT prompt ids (pre-splice) seed the draft memory, so schema
+    text in the system hint is immediately draftable. Returns
+    (packed [B, N+1] = tokens | n_gen, iterations)."""
+    from .speculative import spec_generate_fused_body
+
     vis = vlm.encode_images(params, model_cfg, images)
     embeds = qwen3.embed_tokens(params["text"], ids)
-    return vlm.splice_expand(embeds, mask, ids, vis, image_token_id)
+    embeds, mask2 = vlm.splice_expand(embeds, mask, ids, vis, image_token_id)
+    return spec_generate_fused_body(
+        params["text"], model_cfg.text, gen_cfg, draft_k, ngram,
+        inputs_embeds=embeds, attention_mask=mask2,
+        lookup_ids=ids, lookup_mask=mask, budget=budget, constraint=constraint,
+    )
 
 
 @partial(jax.jit, static_argnames=("model_cfg", "gen_cfg", "image_token_id"))
@@ -134,24 +147,18 @@ def generate_batch(
     images = stack_views(samples, stage.data.image_size)
 
     image_token_id = tokenizer.convert_tokens_to_ids(IMAGE_TOKEN)
-    if speculative:
-        from .speculative import generate_speculative
-
-        embeds, mask2 = _vision_splice(
-            params, stage.model, image_token_id, images, ids, mask
-        )
-        tokens, lengths, _ = generate_speculative(
-            params["text"], stage.model.text, gen_cfg,
-            inputs_embeds=embeds, attention_mask=mask2,
-            lookup_ids=ids, lookup_mask=mask,
-            constraint=constraint, draft_k=draft_k, ngram=ngram,
-        )
-    elif early_exit:
+    if speculative or early_exit:
+        if speculative:
+            packed, _ = _vision_splice_speculative(
+                params, stage.model, gen_cfg, image_token_id, draft_k, ngram,
+                images, ids, mask, constraint=constraint,
+            )
+        else:
+            packed, _ = _vision_splice_early_exit(
+                params, stage.model, gen_cfg, image_token_id, images, ids, mask,
+                constraint=constraint,
+            )
         N = gen_cfg.max_new_tokens
-        packed, _ = _vision_splice_early_exit(
-            params, stage.model, gen_cfg, image_token_id, images, ids, mask,
-            constraint=constraint,
-        )
         packed = np.asarray(packed)
         tokens, n_gen = packed[:, :N], packed[:, N]
         if gen_cfg.eos_token_id is not None:

@@ -297,8 +297,7 @@ def _spec_pack(carry):
     return jnp.concatenate([out, n_gen[:, None]], axis=1)
 
 
-@partial(jax.jit, static_argnames=("cfg", "gen_cfg", "k", "ngram"))
-def _spec_generate_fused(
+def spec_generate_fused_body(
     params,
     cfg: Qwen3Config,
     gen_cfg: GenerationConfig,
@@ -313,12 +312,17 @@ def _spec_generate_fused(
     budget: Optional[jnp.ndarray] = None,
     constraint: Optional[jnp.ndarray] = None,
 ):
-    """The whole speculative generation as ONE compiled program: prefill,
+    """The whole speculative generation as ONE compiled region: prefill,
     then a ``lax.while_loop`` over verify blocks that exits as soon as every
     row is done. One dispatch + one fetch per query — on this tunneled
     backend the host-driven loop paid ~35 ms of round-trip per block (12
     blocks × 35 ms ate the entire speedup; measured 511 ms vs 428 ms
-    baseline), while the fused program pays it once."""
+    baseline), while the fused program pays it once.
+
+    A traceable BODY (plain function) so callers can inline it into a larger
+    jitted program (e.g. ``batching.py`` fuses vision → splice → this into
+    one dispatch per action query). Returns ``(packed [B, N+1] = out |
+    n_gen, iterations scalar)``."""
     carry = _prefill_body(
         params, cfg, gen_cfg, k,
         inputs_embeds=inputs_embeds, attention_mask=attention_mask,
@@ -339,6 +343,11 @@ def _spec_generate_fused(
     carry, iters = jax.lax.while_loop(cond, body, (carry, jnp.zeros((), jnp.int32)))
     out, n_gen = carry[12], carry[3]
     return jnp.concatenate([out, n_gen[:, None]], axis=1), iters
+
+
+_spec_generate_fused = partial(
+    jax.jit, static_argnames=("cfg", "gen_cfg", "k", "ngram")
+)(spec_generate_fused_body)
 
 
 def generate_speculative(
