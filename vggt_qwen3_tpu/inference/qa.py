@@ -111,11 +111,14 @@ def run_inference(
     kv_dtype: Optional[str] = None,
     quant_mode: str = "w8",
     early_exit: bool = True,
+    speculative: bool = False,
 ) -> List[Dict]:
     """``early_exit`` (default on): each batch stops decoding once every row
     hit EOS (token-exact — ``engine.generate_early_exit`` fused mode); with
     the deployment's 1-2-word answers this skips most of the 32-step budget.
-    Disable (``--no_early_exit``) to force the fixed-length scan."""
+    Disable (``--no_early_exit``) to force the fixed-length scan.
+    ``speculative``: prompt-lookup speculative decode (also token-exact;
+    wins when answers echo prompt spans)."""
     if quantize:  # quantized serving mode (weights + embedding/LM head)
         from ..models import qwen3
 
@@ -147,7 +150,7 @@ def run_inference(
         tokens, lengths = generate_batch(
             params, stage, tokenizer, chunk, prompts, gen_cfg,
             pad_to_len=pad_to_len, pad_to_batch=batch_size,
-            early_exit=early_exit,
+            early_exit=early_exit, speculative=speculative,
         )
 
         for j, sample in enumerate(chunk):
@@ -228,6 +231,10 @@ def main() -> None:
         help="force the fixed-length decode scan (outputs are identical "
              "either way; early exit just skips steps after every row's EOS)",
     )
+    p.add_argument(
+        "--speculative", action="store_true",
+        help="prompt-lookup speculative decode (token-exact)",
+    )
     args = p.parse_args()
 
     stage = build_stage(args)
@@ -251,6 +258,7 @@ def main() -> None:
         batch_size=args.batch_size,
         output_path=Path(args.output_jsonl) if args.output_jsonl else None,
         early_exit=not args.no_early_exit,
+        speculative=args.speculative,
     )
 
 
