@@ -159,13 +159,12 @@ def _iteration_body(
     forward pass. Returns ``(carry, all_done scalar)``."""
     (cache, next_logits, next_pos, n_gen, done, fsm_state, seen_ids, seen_len,
      ids_buf, ids_start, ids_len, prompt_key_mask, out, budget) = carry
-    B, V = next_logits.shape
+    B = next_logits.shape[0]
     S = prompt_key_mask.shape[1]
     N = out.shape[1]
     C = ids_buf.shape[1]
     T = cache["k"].shape[2]
     rows = jnp.arange(B)
-    pad_id = gen_cfg.pad_token_id
     eos = gen_cfg.eos_token_id
 
     # ---- token 0: exactly generate()'s per-step selection -----------------
