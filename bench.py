@@ -463,6 +463,22 @@ def serve_mode() -> None:
     slots = int(os.environ.get("BENCH_SLOTS", "4" if tiny else "16"))
     prompt_len, new_tokens = (8, 8) if tiny else (32, 32)
 
+    import jax.numpy as jnp2
+
+    # BENCH_SERVE_STRUCT=1: schema-FSM-constrained decoding (the ARKit action
+    # serving case — outputs follow a repeating JSON-like skeleton).
+    # BENCH_SERVE_SPEC=1: speculative verify blocks. Compare spec on/off at
+    # STRUCT=1 for the structured-serving speedup; spec at STRUCT=0 (free
+    # text, ~zero acceptance) is the honest worst case.
+    spec = os.environ.get("BENCH_SERVE_SPEC") == "1"
+    struct = os.environ.get("BENCH_SERVE_STRUCT", os.environ.get("BENCH_SERVE_SPEC", "0")) == "1"
+    constraint = None
+    cyc = [t % (cfg.vocab_size - 2) + 1 for t in [7, 23, 5, 41, 9, 42, 11, 3301]]
+    if struct:
+        table = np.full((len(cyc), cfg.vocab_size), -1, np.int32)
+        for s, t in enumerate(cyc):
+            table[s, t] = (s + 1) % len(cyc)
+        constraint = jnp2.asarray(table)
     params = qwen3.init_params(jax.random.PRNGKey(0), cfg, dtype=cfg.dtype)
     wq = _text_quant_mode()
     if wq != "none" and not tiny:
@@ -472,21 +488,27 @@ def serve_mode() -> None:
         kv_dtype=None if tiny else "int8",
     )
     eng = SlotEngine(params, cfg, gen_cfg, num_slots=slots,
-                     max_len=prompt_len + new_tokens, decode_chunk=4)
+                     max_len=prompt_len + new_tokens, decode_chunk=4,
+                     speculative=spec, constraint=constraint)
 
     rng = np.random.default_rng(0)
     prompts = []
     budgets = []
     for i in range(n_req):
-        ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (1, prompt_len)))
+        # structured case: the skeleton also appears at the prompt tail (the
+        # ARKit schema-in-system-hint pattern) so lookup warms immediately
+        idsnp = rng.integers(1, cfg.vocab_size, (1, prompt_len))
+        if struct:
+            idsnp[0, -len(cyc):] = cyc
+        ids = jnp.asarray(idsnp)
         emb = np.asarray(qwen3.embed_tokens(params, ids))
-        prompts.append((emb, np.ones((1, prompt_len), np.int32)))
+        prompts.append((emb, np.ones((1, prompt_len), np.int32), idsnp))
         # cycle budgets over [new_tokens/4, new_tokens] so completions stagger
         lo = max(1, new_tokens // 4)
         budgets.append(lo + i % (new_tokens - lo + 1))
 
     # warmup: compile admit + decode-chunk once
-    fut = eng.submit_embeds(*prompts[0])
+    fut = eng.submit_embeds(*prompts[0][:2], lookup_ids=prompts[0][2] if spec else None)
     eng.run_until_idle()
     fut.result(timeout=60)
     eng.stats.requests = eng.stats.chunks = eng.stats.tokens = 0
@@ -494,15 +516,19 @@ def serve_mode() -> None:
     eng.stats.admission_log.clear()
 
     t0 = time.time()
-    futs = [eng.submit_embeds(e, m, max_new_tokens=b)
-            for (e, m), b in zip(prompts, budgets)]
+    futs = [eng.submit_embeds(e, m, max_new_tokens=b,
+                              lookup_ids=lids if spec else None)
+            for (e, m, lids), b in zip(prompts, budgets)]
     eng.run_until_idle()
     for f in futs:
         f.result(timeout=120)
     dt = time.time() - t0
     rps = n_req / dt
+    label = ("structured+spec" if struct and spec else
+             "structured" if struct else "spec" if spec else "free")
     print(
-        f"serve: {n_req} reqs × {new_tokens} tok over {slots} slots in {dt:.2f}s "
+        f"serve [{label}]: {n_req} reqs × {new_tokens} "
+        f"tok over {slots} slots in {dt:.2f}s "
         f"→ {rps:.2f} req/s, {eng.stats.tokens/dt:.0f} served tok/s, "
         f"{eng.stats.chunks} chunks, {eng.stats.admitted_mid_decode} mid-decode admissions",
         file=sys.stderr, flush=True,

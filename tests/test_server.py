@@ -42,8 +42,10 @@ def _post(port: int, path: str, payload: dict, timeout: float = 120):
         return json.loads(r.read())
 
 
-@pytest.fixture(scope="module", params=["slots", "batch"])
+@pytest.fixture(scope="module", params=["slots", "batch", "slots-spec"])
 def server(request):
+    engine = "slots" if request.param.startswith("slots") else "batch"
+    extra = ["--speculative", "--draft_k", "3"] if request.param == "slots-spec" else []
     port = _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -52,11 +54,11 @@ def server(request):
         [
             sys.executable, "-m", "vggt_qwen3_tpu.inference.server",
             "--config", "configs/toy.yaml", "--tiny", "--mock_vision",
-            "--port", str(port), "--engine", request.param,
+            "--port", str(port), "--engine", engine,
             "--max_batch", "4", "--max_new_tokens", "8",
             "--prompt_bucket", "32", "--max_wait_ms", "200",
             "--decode_chunk", "2",
-        ],
+        ] + extra,
         cwd=REPO, env=env,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
@@ -114,7 +116,7 @@ def test_concurrent_requests_coalesce(server):
 
     after = _get(port, "/healthz")
     assert after["requests"] - before["requests"] == 4
-    if engine == "batch":
+    if engine == "batch":  # noqa: SIM108 — param name, see fixture
         # 4 concurrent requests must coalesce into fewer than 4 batches
         assert after["batches"] - before["batches"] < 4
     else:

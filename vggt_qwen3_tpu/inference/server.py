@@ -128,7 +128,8 @@ class SlotQAService:
 
     def __init__(self, stage, tokenizer, params, *, num_slots: int,
                  max_new_tokens: int, prompt_bucket: int, decode_chunk: int = 4,
-                 kv_dtype: str = "int8") -> None:
+                 kv_dtype: str = "int8", speculative: bool = False,
+                 draft_k: int = 6, ngram: int = 3) -> None:
         from functools import partial
 
         import jax
@@ -150,9 +151,11 @@ class SlotQAService:
         # spliced prompt length = bucket + num_vis − 1 (+ geom prepend)
         vis_span = stage.model.num_vis_tokens + stage.model.geom_tokens
         max_len = prompt_bucket + vis_span - 1 + max_new_tokens
+        self.speculative = speculative
         self.engine = SlotEngine(
             params["text"], stage.model.text, self.gen_cfg,
             num_slots=num_slots, max_len=max_len, decode_chunk=decode_chunk,
+            speculative=speculative, draft_k=draft_k, ngram=ngram,
         )
         self.image_token_id = tokenizer.convert_tokens_to_ids(IMAGE_TOKEN)
 
@@ -193,8 +196,12 @@ class SlotQAService:
             req_budget = request.get("max_new_tokens")
             if req_budget is not None:
                 req_budget = min(int(req_budget), self.gen_cfg.max_new_tokens)
+            # speculative draft memory: the TEXT prompt ids, zeros for pads
+            # (the engine's lookup contract treats id 0 as padding)
+            lids = (ids * mask).astype(np.int64) if self.speculative else None
             inner = self.engine.submit_embeds(
-                np.asarray(embeds), np.asarray(mask2), max_new_tokens=req_budget
+                np.asarray(embeds), np.asarray(mask2), max_new_tokens=req_budget,
+                lookup_ids=lids,
             )
         except Exception as e:
             outer.set_exception(e)
@@ -278,6 +285,14 @@ def main() -> None:
         help="KV cache storage: int8 halves decode HBM traffic (near-lossless "
              "greedy per the drift gates); bf16 = exact",
     )
+    ap.add_argument(
+        "--speculative", action="store_true",
+        help="slots engine: speculative continuous batching — each dispatch "
+             "verifies a drafted block, 1..k+1 tokens per weight read "
+             "(token-exact; wins on structured/repetitive outputs)",
+    )
+    ap.add_argument("--draft_k", type=int, default=6,
+                    help="--speculative: drafted tokens per verify block")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--mock_vision", action="store_true")
     ap.add_argument(
@@ -311,7 +326,8 @@ def main() -> None:
             stage, tokenizer, params,
             num_slots=args.max_batch, max_new_tokens=args.max_new_tokens,
             prompt_bucket=args.prompt_bucket, decode_chunk=args.decode_chunk,
-            kv_dtype=args.kv_dtype,
+            kv_dtype=args.kv_dtype, speculative=args.speculative,
+            draft_k=args.draft_k,
         )
     else:
         service = QAService(

@@ -29,6 +29,12 @@ Design — TPU-idiomatic, compile-once, fixed shapes throughout:
 - **Per-request budgets** (``submit_embeds(..., max_new_tokens=...)``) and
   **shared-prefix KV reuse** (``register_prefix`` — system-prompt caching;
   admission then prefills only the request suffix at ``cache_offset=P``).
+- **Speculative continuous batching** (``speculative=True``): each dispatch
+  is ONE prompt-lookup verify block advancing every active slot 1..k+1
+  tokens per weight read (``_spec_chunk`` — the serving adaptation of
+  ``inference/speculative.py``); ``submit_embeds(..., lookup_ids=...)``
+  seeds each slot's draft memory with its TEXT prompt ids. Token-exact vs
+  the classic chunk path and ``engine.generate``.
 
 Greedy + repetition-penalty semantics are identical to ``engine.generate``
 (same ``ops/sampling`` processors, same seen-buffer rules for the
@@ -78,6 +84,15 @@ def init_slot_state(cfg: Qwen3Config, gen_cfg: GenerationConfig, num_slots: int,
         # per-slot decode budget (≤ N): requests can ask for fewer tokens
         # than the engine max, so slots free at different chunk boundaries
         "budget": jnp.full((B,), N, jnp.int32),
+        # per-slot prompt-lookup draft memory (speculative mode): token ids
+        # of the request's TEXT prompt then its generated tokens; [start, len)
+        # is the matchable window
+        "ids_buf": jnp.zeros((B, max_len), jnp.int32),
+        "ids_start": jnp.zeros((B,), jnp.int32),
+        "ids_len": jnp.zeros((B,), jnp.int32),
+        # per-slot FSM state for schema-constrained decoding (engine-wide
+        # transition table; reset to 0 at admission)
+        "fsm": jnp.zeros((B,), jnp.int32),
     }
 
 
@@ -102,11 +117,30 @@ def _prefix_prefill(params, cfg: Qwen3Config, inputs_embeds: jnp.ndarray,
     return cache, mask
 
 
+def _arm_lookup(state, slot, lookup_ids):
+    """Seed slot ``slot``'s draft memory with the request's TEXT prompt ids
+    ([1, L] int32, LEFT-padded with zeros; id 0 is treated as padding — an
+    all-zero row = empty memory, drafting then waits for generated history).
+    The ids need not align with the spliced embeds: this is draft memory
+    only and never affects which tokens are produced."""
+    C = state["ids_buf"].shape[1]
+    L = lookup_ids.shape[1]
+    ids32 = lookup_ids[0].astype(jnp.int32)
+    row = jnp.zeros((C,), jnp.int32).at[:L].set(ids32)
+    return dict(
+        state,
+        ids_buf=state["ids_buf"].at[slot].set(row),
+        ids_start=state["ids_start"].at[slot].set(L - (ids32 != 0).sum()),
+        ids_len=state["ids_len"].at[slot].set(L),
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
 def _admit_prefixed(params, state, cfg: Qwen3Config, slot: jnp.ndarray,
                     inputs_embeds: jnp.ndarray, attention_mask: jnp.ndarray,
                     budget: jnp.ndarray, prefix_cache, prefix_mask: jnp.ndarray,
-                    prefix_len: jnp.ndarray):
+                    prefix_len: jnp.ndarray,
+                    lookup_ids: Optional[jnp.ndarray] = None):
     """Admit a left-padded suffix on top of a stashed prefix row: the slot's
     cache row starts as a copy of the prefix KV, and only the suffix is
     prefilled (``cache_offset=prefix_len``) — admission cost scales with the
@@ -138,14 +172,18 @@ def _admit_prefixed(params, state, cfg: Qwen3Config, slot: jnp.ndarray,
         out=state["out"].at[slot].set(0),
         n_gen=state["n_gen"].at[slot].set(0),
         budget=state["budget"].at[slot].set(budget),
+        fsm=state["fsm"].at[slot].set(0),
     )
+    if lookup_ids is None:
+        lookup_ids = jnp.zeros((1, 1), jnp.int32)
+    state = _arm_lookup(state, slot, lookup_ids)
     return state
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
 def _admit(params, state, cfg: Qwen3Config, slot: jnp.ndarray,
            inputs_embeds: jnp.ndarray, attention_mask: jnp.ndarray,
-           budget: jnp.ndarray):
+           budget: jnp.ndarray, lookup_ids: Optional[jnp.ndarray] = None):
     """Prefill one prompt ([1, S, H], left-padded mask [1, S]) into cache row
     ``slot`` and arm the slot. Other slots' rows are untouched (the row slice
     is copied out, filled, and written back — ~12 MB for the 4B cache row)."""
@@ -182,12 +220,30 @@ def _admit(params, state, cfg: Qwen3Config, slot: jnp.ndarray,
         out=state["out"].at[slot].set(0),
         n_gen=state["n_gen"].at[slot].set(0),
         budget=state["budget"].at[slot].set(budget),
+        fsm=state["fsm"].at[slot].set(0),
     )
+    if lookup_ids is None:
+        lookup_ids = jnp.zeros((1, 1), jnp.int32)
+    state = _arm_lookup(state, slot, lookup_ids)
     return state
 
 
+def _constrained_pick(raw, processed, fsm, constraint):
+    """engine.generate's constrained selection: grammar masks the processed
+    logits; rows where processors banned every grammar-legal token fall back
+    to grammar-masked raw logits."""
+    if constraint is None:
+        return greedy_token(processed)
+    allowed = constraint[fsm] >= 0
+    cand = jnp.where(allowed, processed, -jnp.inf)
+    feasible = jnp.isfinite(cand).any(axis=-1, keepdims=True)
+    raw_cand = jnp.where(allowed, raw, -jnp.inf)
+    return greedy_token(jnp.where(feasible, cand, raw_cand))
+
+
 @partial(jax.jit, static_argnames=("cfg", "gen_cfg", "chunk"), donate_argnums=(1,))
-def _decode_chunk(params, state, cfg: Qwen3Config, gen_cfg: GenerationConfig, chunk: int):
+def _decode_chunk(params, state, cfg: Qwen3Config, gen_cfg: GenerationConfig, chunk: int,
+                  constraint: Optional[jnp.ndarray] = None):
     """Advance every active slot ``chunk`` tokens (one compiled scan)."""
     B = state["active"].shape[0]
     N = gen_cfg.max_new_tokens
@@ -201,8 +257,11 @@ def _decode_chunk(params, state, cfg: Qwen3Config, gen_cfg: GenerationConfig, ch
         logits = apply_no_repeat_ngram(
             logits, state["seen_ids"], state["seen_len"], gen_cfg.no_repeat_ngram
         )
-        tok = greedy_token(logits)
+        tok = _constrained_pick(state["next_logits"], logits, state["fsm"], constraint)
         stopped = state["done"] | ~state["active"]
+        if constraint is not None:
+            nxt = constraint[state["fsm"], tok]
+            state = dict(state, fsm=jnp.where(stopped, state["fsm"], jnp.maximum(nxt, 0)))
         out_tok = jnp.where(stopped, gen_cfg.pad_token_id, tok)
         if gen_cfg.eos_token_id is not None:
             done = state["done"] | (tok == gen_cfg.eos_token_id)
@@ -257,6 +316,139 @@ def _decode_chunk(params, state, cfg: Qwen3Config, gen_cfg: GenerationConfig, ch
     return state, snap
 
 
+@partial(jax.jit, static_argnames=("cfg", "gen_cfg", "k", "ngram"), donate_argnums=(1,))
+def _spec_chunk(params, state, cfg: Qwen3Config, gen_cfg: GenerationConfig,
+                k: int, ngram: int, constraint: Optional[jnp.ndarray] = None):
+    """Speculative continuous batching: ONE verify block advances every
+    active slot 1..k+1 tokens per weight read (prompt-lookup drafting —
+    the slots adaptation of ``speculative._iteration_body``; same token
+    semantics as ``_decode_chunk``, different schedule). Returns
+    ``(state, snap)`` with the same packed snapshot contract."""
+    B = state["active"].shape[0]
+    N = gen_cfg.max_new_tokens
+    T = state["kv_mask"].shape[1]
+    C = state["ids_buf"].shape[1]
+    rows = jnp.arange(B)
+    eos = gen_cfg.eos_token_id
+
+    seen_ids, seen_len = state["seen_ids"], state["seen_len"]
+    ids_buf, ids_start, ids_len = state["ids_buf"], state["ids_start"], state["ids_len"]
+    out, n_gen = state["out"], state["n_gen"]
+    fsm = state["fsm"]
+    budget_eff = jnp.minimum(state["budget"], N)
+    stopped = state["done"] | ~state["active"]
+
+    def processors(logits):
+        l = apply_repetition_penalty(
+            logits, seen_ids, seen_len, gen_cfg.repetition_penalty)
+        return apply_no_repeat_ngram(l, seen_ids, seen_len, gen_cfg.no_repeat_ngram)
+
+    raw0 = state["next_logits"]
+    tok0 = _constrained_pick(raw0, processors(raw0), fsm, constraint)
+
+    # ---- prompt-lookup drafting over the per-slot id history --------------
+    n1 = max(ngram - 1, 0)
+    key_pos = ids_len[:, None] - n1 + jnp.arange(n1)[None, :]
+    key_prev = ids_buf[rows[:, None], jnp.clip(key_pos, 0, C - 1)]
+    key = jnp.concatenate([key_prev, tok0[:, None]], axis=1)
+    jj = jnp.arange(C)
+    win_idx = jj[:, None] + jnp.arange(ngram)[None, :]
+    windows = ids_buf[:, jnp.clip(win_idx, 0, C - 1)]
+    match = jnp.all(windows == key[:, None, :], axis=-1)
+    enough_hist = (ids_len - ids_start) >= n1
+    valid_j = (
+        (jj[None, :] >= ids_start[:, None])
+        & (jj[None, :] + ngram <= ids_len[:, None])
+        & enough_hist[:, None]
+    )
+    avail = jnp.clip(ids_len[:, None] - (jj[None, :] + ngram), 0, k)
+    score = jnp.where(match & valid_j & (avail > 0), avail * C + jj[None, :], -1)
+    best = score.max(axis=-1)
+    has = best >= 0
+    p = jnp.where(has, best % C, 0)
+    d_idx = p[:, None] + ngram + jnp.arange(k)[None, :]
+    d_ok = has[:, None] & (d_idx < ids_len[:, None])
+    drafts = jnp.where(d_ok, ids_buf[rows[:, None], jnp.clip(d_idx, 0, C - 1)], 0)
+
+    # ---- ONE forward over [tok0, drafts] at each slot's own depth ---------
+    block = jnp.concatenate([tok0[:, None], drafts], axis=1)  # [B, k+1]
+    off = jnp.clip(state["write_off"], 0, T - (k + 1))
+    tpos = jnp.arange(T)[None, None, :]
+    base = state["kv_mask"].astype(bool)[:, None, :]
+    inblock = (tpos >= off[:, None, None]) & (
+        (tpos - off[:, None, None]) <= jnp.arange(k + 1)[None, :, None]
+    )
+    amask = base | inblock  # [B, k+1, T]
+    positions = state["rot_pos"][:, None] + jnp.arange(k + 1)[None, :]
+    logits, cache = qwen3.forward(
+        params, cfg, input_ids=block, attention_mask=amask.astype(jnp.int32),
+        positions=positions, cache=state["cache"], cache_offset=off,
+    )
+    logits = logits.astype(jnp.float32)
+
+    # ---- acceptance: emit tok0, then drafts while they match --------------
+    def record(emit, tok, seen_ids, seen_len, ids_buf, ids_len, out, out_at, fsm):
+        sidx = jnp.clip(seen_len, 0, N - 1)
+        seen_ids = seen_ids.at[rows, sidx].set(jnp.where(emit, tok, seen_ids[rows, sidx]))
+        seen_len = seen_len + emit.astype(jnp.int32)
+        bidx = jnp.clip(ids_len, 0, C - 1)
+        ids_buf = ids_buf.at[rows, bidx].set(jnp.where(emit, tok, ids_buf[rows, bidx]))
+        ids_len = ids_len + emit.astype(jnp.int32)
+        oidx = jnp.clip(out_at, 0, N - 1)
+        out = out.at[rows, oidx].set(jnp.where(emit, tok, out[rows, oidx]))
+        if constraint is not None:
+            nxt = constraint[fsm, tok]
+            fsm = jnp.where(emit, jnp.maximum(nxt, 0), fsm)
+        return seen_ids, seen_len, ids_buf, ids_len, out, fsm
+
+    can0 = ~stopped & (n_gen < budget_eff)
+    seen_ids, seen_len, ids_buf, ids_len, out, fsm = record(
+        can0, tok0, seen_ids, seen_len, ids_buf, ids_len, out, n_gen, fsm)
+    a = can0.astype(jnp.int32)
+    hit_eos = can0 & (tok0 == eos) if eos is not None else jnp.zeros((B,), bool)
+    alive = can0 & ~hit_eos & (n_gen + a < budget_eff)
+
+    for j in range(1, k + 1):
+        lprev = logits[:, j - 1]
+        lpen = apply_repetition_penalty(
+            lprev, seen_ids, seen_len, gen_cfg.repetition_penalty)
+        lpen = apply_no_repeat_ngram(lpen, seen_ids, seen_len, gen_cfg.no_repeat_ngram)
+        true_j = _constrained_pick(lprev, lpen, fsm, constraint)
+        accept = alive & (drafts[:, j - 1] == true_j)
+        seen_ids, seen_len, ids_buf, ids_len, out, fsm = record(
+            accept, true_j, seen_ids, seen_len, ids_buf, ids_len, out, n_gen + a, fsm)
+        a = a + accept.astype(jnp.int32)
+        if eos is not None:
+            e = accept & (true_j == eos)
+            hit_eos = hit_eos | e
+            alive = accept & ~e
+        else:
+            alive = accept
+        alive = alive & (n_gen + a < budget_eff)
+
+    sel = jnp.clip(a - 1, 0, k)
+    gathered = jnp.take_along_axis(logits, sel[:, None, None], axis=1)[:, 0]
+    next_logits = jnp.where((a > 0)[:, None], gathered, state["next_logits"])
+    # mark only the ACCEPTED block columns as valid keys; rejected columns
+    # stay masked (garbage KV) and the next block overwrites them
+    cols = off[:, None] + jnp.arange(k + 1)[None, :]
+    accept_cols = (jnp.arange(k + 1)[None, :] < a[:, None]) & (cols < T)
+    kv_mask = state["kv_mask"].at[rows[:, None], jnp.clip(cols, 0, T - 1)].max(
+        accept_cols.astype(jnp.int32))
+    n_gen = n_gen + a
+    done = state["done"] | hit_eos | (n_gen >= budget_eff)
+
+    state = dict(
+        state, cache=cache, kv_mask=kv_mask, write_off=off + a,
+        rot_pos=state["rot_pos"] + a, next_logits=next_logits,
+        seen_ids=seen_ids, seen_len=seen_len, done=done, out=out, n_gen=n_gen,
+        ids_buf=ids_buf, ids_start=ids_start, ids_len=ids_len, fsm=fsm,
+    )
+    snap = jnp.concatenate(
+        [done.astype(jnp.int32)[:, None], n_gen[:, None], out], axis=1)
+    return state, snap
+
+
 # ---------------------------------------------------------------------------
 # Host scheduler
 # ---------------------------------------------------------------------------
@@ -270,6 +462,7 @@ class _Pending:
     submitted_at: float = 0.0
     max_new_tokens: Optional[int] = None  # per-request budget (≤ engine max)
     prefix_id: Optional[int] = None       # registered shared-prefix handle
+    lookup_ids: Optional[np.ndarray] = None  # [1, S] TEXT ids seeding drafts
 
 
 @dataclass
@@ -291,14 +484,25 @@ class SlotEngine:
     """
 
     def __init__(self, params, cfg: Qwen3Config, gen_cfg: GenerationConfig, *,
-                 num_slots: int, max_len: int, decode_chunk: int = 4) -> None:
+                 num_slots: int, max_len: int, decode_chunk: int = 4,
+                 speculative: bool = False, draft_k: int = 6,
+                 ngram: int = 3, constraint=None) -> None:
         self.params = params
         self.cfg = cfg
         self.gen_cfg = gen_cfg
         self.num_slots = num_slots
         self.max_len = max_len
         self.decode_chunk = decode_chunk
-        self.state = init_slot_state(cfg, gen_cfg, num_slots, max_len)
+        self.speculative = speculative
+        self.draft_k = draft_k
+        self.ngram = ngram
+        # engine-wide schema FSM ([num_states, vocab] int32 — see
+        # inference/constrained.py); every request decodes under it
+        self.constraint = None if constraint is None else jnp.asarray(constraint)
+        # speculative blocks scatter k+1 KV entries from each slot's frontier;
+        # the rejected tail beyond a row's budget needs scratch columns
+        self._row_len = max_len + (draft_k + 1 if speculative else 0)
+        self.state = init_slot_state(cfg, gen_cfg, num_slots, self._row_len)
         self.prefixes: Dict[int, Tuple[object, jnp.ndarray, int]] = {}
         self._next_prefix_id = 0
         self.queue: "Queue[_Pending]" = Queue()
@@ -328,7 +532,7 @@ class SlotEngine:
                              f"{self.max_len}-token slot row")
         cache, mask = _prefix_prefill(
             self.params, self.cfg, jnp.asarray(inputs_embeds),
-            self.gen_cfg.kv_dtype or self.cfg.dtype, self.max_len,
+            self.gen_cfg.kv_dtype or self.cfg.dtype, self._row_len,
         )
         pid = self._next_prefix_id
         self._next_prefix_id += 1
@@ -337,7 +541,13 @@ class SlotEngine:
 
     def submit_embeds(self, inputs_embeds: np.ndarray, attention_mask: np.ndarray,
                       max_new_tokens: Optional[int] = None,
-                      prefix_id: Optional[int] = None):
+                      prefix_id: Optional[int] = None,
+                      lookup_ids: Optional[np.ndarray] = None):
+        """``lookup_ids``: optional [1, L] TEXT token ids, LEFT-padded with
+        zeros (id 0 = padding) — seeds the speculative draft memory, so
+        schema text in the prompt becomes immediately draftable. They need
+        not align with the (vision-spliced) embeds; ignored in
+        non-speculative mode and never affect which tokens are produced."""
         from concurrent.futures import Future
 
         fut: Future = Future()
@@ -351,9 +561,19 @@ class SlotEngine:
         if prefix_id is not None and prefix_id not in self.prefixes:
             fut.set_exception(ValueError(f"unknown prefix_id {prefix_id}"))
             return fut
+        if lookup_ids is not None and (
+            lookup_ids.ndim != 2
+            or lookup_ids.shape[0] != 1
+            or lookup_ids.shape[1] > self._row_len - self.gen_cfg.max_new_tokens
+        ):
+            fut.set_exception(ValueError(
+                f"lookup_ids must be [1, L] with L ≤ "
+                f"{self._row_len - self.gen_cfg.max_new_tokens}; got "
+                f"{lookup_ids.shape}"))
+            return fut
         self.queue.put(
             _Pending(inputs_embeds, attention_mask, fut, time.time(),
-                     max_new_tokens, prefix_id)
+                     max_new_tokens, prefix_id, lookup_ids)
         )
         return fut
 
@@ -381,11 +601,16 @@ class SlotEngine:
                 )
                 continue
             budget = jnp.int32(req.max_new_tokens or self.gen_cfg.max_new_tokens)
+            # always pass an array (zeros = empty draft memory) so the admit
+            # program traces once per prompt bucket
+            lids = jnp.asarray(
+                req.lookup_ids if req.lookup_ids is not None
+                else np.zeros_like(req.attention_mask), jnp.int32)
             if req.prefix_id is None:
                 self.state = _admit(
                     self.params, self.state, self.cfg, jnp.int32(slot),
                     jnp.asarray(req.inputs_embeds),
-                    jnp.asarray(req.attention_mask, jnp.int32), budget,
+                    jnp.asarray(req.attention_mask, jnp.int32), budget, lids,
                 )
             else:
                 cache, mask, _ = self.prefixes[req.prefix_id]
@@ -393,7 +618,7 @@ class SlotEngine:
                     self.params, self.state, self.cfg, jnp.int32(slot),
                     jnp.asarray(req.inputs_embeds),
                     jnp.asarray(req.attention_mask, jnp.int32), budget,
-                    cache, mask, jnp.int32(P),
+                    cache, mask, jnp.int32(P), lids,
                 )
             self.slot_futures[slot] = req.future
             self._slot_admit_boundary[slot] = self._chunk_idx + 1
@@ -431,9 +656,16 @@ class SlotEngine:
         with self._lock:
             self._admit_pending()
             if self._any_active():
-                self.state, snap = _decode_chunk(
-                    self.params, self.state, self.cfg, self.gen_cfg, self.decode_chunk
-                )
+                if self.speculative:
+                    self.state, snap = _spec_chunk(
+                        self.params, self.state, self.cfg, self.gen_cfg,
+                        self.draft_k, self.ngram, self.constraint,
+                    )
+                else:
+                    self.state, snap = _decode_chunk(
+                        self.params, self.state, self.cfg, self.gen_cfg,
+                        self.decode_chunk, self.constraint,
+                    )
                 self._chunk_idx += 1
                 self.stats.chunks += 1
                 # pipeline: examine the PREVIOUS chunk's snapshot while this
