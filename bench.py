@@ -463,8 +463,6 @@ def serve_mode() -> None:
     slots = int(os.environ.get("BENCH_SLOTS", "4" if tiny else "16"))
     prompt_len, new_tokens = (8, 8) if tiny else (32, 32)
 
-    import jax.numpy as jnp2
-
     # BENCH_SERVE_STRUCT=1: schema-FSM-constrained decoding (the ARKit action
     # serving case — outputs follow a repeating JSON-like skeleton).
     # BENCH_SERVE_SPEC=1: speculative verify blocks. Compare spec on/off at
@@ -478,7 +476,7 @@ def serve_mode() -> None:
         table = np.full((len(cyc), cfg.vocab_size), -1, np.int32)
         for s, t in enumerate(cyc):
             table[s, t] = (s + 1) % len(cyc)
-        constraint = jnp2.asarray(table)
+        constraint = jnp.asarray(table)
     params = qwen3.init_params(jax.random.PRNGKey(0), cfg, dtype=cfg.dtype)
     wq = _text_quant_mode()
     if wq != "none" and not tiny:
