@@ -67,9 +67,14 @@ def record(tokenizer) -> Dict:
     def enc(text: str) -> List[int]:
         return [int(i) for i in tokenizer(text, add_special_tokens=False)["input_ids"]]
 
-    vocab_before = len(tokenizer)
-    # load_tokenizer already registered <image>; recompute the pre-add length
+    # load_tokenizer has ALREADY registered <image> by the time record()
+    # runs, so this is the post-registration length (what inference sees);
+    # the raw-HF pre-add length is recorded separately for weights-day
+    # comparison against the downloaded tokenizer files.
+    vocab_with_image = len(tokenizer)
     img_id = int(tokenizer.convert_tokens_to_ids(IMAGE_TOKEN))
+    added = set(getattr(tokenizer, "get_added_vocab", dict)().keys())
+    vocab_raw = vocab_with_image - (1 if IMAGE_TOKEN in added else 0)
 
     entries = []
     for probe in PROBES:
@@ -99,7 +104,8 @@ def record(tokenizer) -> Dict:
     pad_id = int(tokenizer.pad_token_id)
     return {
         "tokenizer_class": type(tokenizer).__name__,
-        "vocab_len": vocab_before,
+        "vocab_len": vocab_with_image,  # post-<image>-registration (runtime view)
+        "vocab_len_raw": vocab_raw,     # pre-registration (raw HF tokenizer)
         "image_token": IMAGE_TOKEN,
         "image_token_id": img_id,
         "eos_token_id": int(tokenizer.eos_token_id),

@@ -158,15 +158,9 @@ def generate_batch(
                 params, stage.model, gen_cfg, image_token_id, images, ids, mask,
                 constraint=constraint,
             )
-        N = gen_cfg.max_new_tokens
-        packed = np.asarray(packed)
-        tokens, n_gen = packed[:, :N], packed[:, N]
-        if gen_cfg.eos_token_id is not None:
-            is_eos = tokens == gen_cfg.eos_token_id
-            seen = np.cumsum(is_eos.astype(np.int32), axis=-1) - is_eos.astype(np.int32)
-            lengths = np.minimum((seen == 0).astype(np.int32).sum(-1), n_gen)
-        else:
-            lengths = n_gen
+        from .engine import unpack_lengths
+
+        tokens, lengths = unpack_lengths(np.asarray(packed), gen_cfg)
     else:
         tokens, lengths = _vision_splice_generate(
             params, stage.model, gen_cfg, image_token_id, images, ids, mask, constraint

@@ -50,6 +50,41 @@ def _processors(logits, seen_ids, seen_len, gen_cfg: GenerationConfig):
     return logits
 
 
+def constrained_greedy(raw_logits, processed, fsm_state, constraint):
+    """Greedy token under an optional schema FSM — the ONE selection rule
+    every decode path uses (generate / early-exit / speculative / slots).
+
+    Grammar masks the processed logits; rows where the processors banned
+    every grammar-legal token (structural JSON tokens necessarily repeat, so
+    no-repeat-ngram can ban them all) fall back to grammar-masked RAW
+    logits — grammar takes precedence over processors."""
+    if constraint is None:
+        return greedy_token(processed)
+    allowed = constraint[fsm_state] >= 0
+    cand = jnp.where(allowed, processed, -jnp.inf)
+    feasible = jnp.isfinite(cand).any(axis=-1, keepdims=True)
+    raw_cand = jnp.where(allowed, raw_logits, -jnp.inf)
+    return greedy_token(jnp.where(feasible, cand, raw_cand))
+
+
+def unpack_lengths(packed: np.ndarray, gen_cfg: GenerationConfig):
+    """Host-side unpack of the fused programs' ``[B, N+1] = out | n_gen``
+    buffer → ``(tokens [B, N], lengths [B])``. Lengths count up to and
+    including EOS (engine.generate semantics); budget-finished rows have no
+    EOS, so the count clamps to the device-side emitted total (also the
+    guard for pad_token_id == eos_token_id, where pads after finish would
+    otherwise count as alive)."""
+    N = gen_cfg.max_new_tokens
+    out, n_gen = packed[:, :N], packed[:, N]
+    if gen_cfg.eos_token_id is not None:
+        is_eos = out == gen_cfg.eos_token_id
+        seen = np.cumsum(is_eos.astype(np.int32), axis=-1) - is_eos.astype(np.int32)
+        lengths = np.minimum((seen == 0).astype(np.int32).sum(-1), n_gen)
+    else:
+        lengths = n_gen
+    return out, lengths
+
+
 @partial(jax.jit, static_argnames=("cfg", "gen_cfg"))
 def generate(
     params,
@@ -119,16 +154,7 @@ def generate(
     def step(carry, t):
         cache, mask, next_logits, next_pos, seen_ids, seen_len, done, fsm_state = carry
         logits = _processors(next_logits, seen_ids, seen_len, gen_cfg)
-        if constraint is not None:
-            allowed = constraint[fsm_state] >= 0  # [B, V]
-            cand = jnp.where(allowed, logits, -jnp.inf)
-            # structural JSON tokens necessarily repeat (", ", ": [", …), so
-            # no-repeat-ngram can ban EVERY grammar-legal token; grammar takes
-            # precedence — such rows fall back to the unprocessed logits
-            feasible = jnp.isfinite(cand).any(axis=-1, keepdims=True)
-            raw_cand = jnp.where(allowed, next_logits, -jnp.inf)
-            logits = jnp.where(feasible, cand, raw_cand)
-        tok = greedy_token(logits)
+        tok = constrained_greedy(next_logits, logits, fsm_state, constraint)
         if constraint is not None:
             nxt = constraint[fsm_state, tok]
             fsm_state = jnp.where(done, fsm_state, jnp.maximum(nxt, 0))
@@ -241,13 +267,7 @@ def _ee_step(params, cfg, gen_cfg, constraint, S, carry, t):
      fsm_state, n_gen, budget, out) = carry
     B = next_logits.shape[0]
     logits = _processors(next_logits, seen_ids, seen_len, gen_cfg)
-    if constraint is not None:
-        allowed = constraint[fsm_state] >= 0
-        cand = jnp.where(allowed, logits, -jnp.inf)
-        feasible = jnp.isfinite(cand).any(axis=-1, keepdims=True)
-        raw_cand = jnp.where(allowed, next_logits, -jnp.inf)
-        logits = jnp.where(feasible, cand, raw_cand)
-    tok = greedy_token(logits)
+    tok = constrained_greedy(next_logits, logits, fsm_state, constraint)
     if constraint is not None:
         nxt = constraint[fsm_state, tok]
         fsm_state = jnp.where(done, fsm_state, jnp.maximum(nxt, 0))
@@ -389,7 +409,12 @@ def generate_early_exit(
     ``generate`` when budgets are full.
     """
     N = gen_cfg.max_new_tokens
-    budget = None if budget is None else jnp.asarray(budget, jnp.int32)
+    if budget is not None:
+        budget = jnp.asarray(budget, jnp.int32)
+        # a 0-budget row would still emit one token before the exhaustion
+        # check folds into done (the slot engine rejects these too)
+        if not bool((budget >= 1).all()):
+            raise ValueError("per-row budgets must be >= 1")
     if mode == "fused":
         packed, steps = _early_exit_fused(
             params, cfg, gen_cfg, inputs_embeds=inputs_embeds,
@@ -423,16 +448,7 @@ def generate_early_exit(
                 break
             prev_flag = all_done
         packed = np.asarray(_early_exit_pack(carry))  # the ONLY bulk fetch
-    out, n_gen = packed[:, :N], packed[:, N]
-    if gen_cfg.eos_token_id is not None:
-        is_eos = out == gen_cfg.eos_token_id
-        seen_eos = np.cumsum(is_eos.astype(np.int32), axis=-1) - is_eos.astype(np.int32)
-        lengths = (seen_eos == 0).astype(np.int32).sum(-1)
-        # budget-finished rows have no EOS: pads after finish would count as
-        # "alive", so clamp by the device-side emitted count
-        lengths = np.minimum(lengths, n_gen)
-    else:
-        lengths = n_gen
+    out, lengths = unpack_lengths(packed, gen_cfg)
     return jnp.asarray(out), jnp.asarray(lengths), dispatched
 
 

@@ -57,7 +57,8 @@ import numpy as np
 from ..config import Qwen3Config
 from ..models import qwen3
 from ..ops.sampling import apply_no_repeat_ngram, apply_repetition_penalty, greedy_token
-from .engine import GenerationConfig
+from .engine import GenerationConfig, constrained_greedy
+from .speculative import draft_lookup
 
 
 # ---------------------------------------------------------------------------
@@ -119,18 +120,22 @@ def _prefix_prefill(params, cfg: Qwen3Config, inputs_embeds: jnp.ndarray,
 
 def _arm_lookup(state, slot, lookup_ids):
     """Seed slot ``slot``'s draft memory with the request's TEXT prompt ids
-    ([1, L] int32, LEFT-padded with zeros; id 0 is treated as padding — an
-    all-zero row = empty memory, drafting then waits for generated history).
-    The ids need not align with the spliced embeds: this is draft memory
-    only and never affects which tokens are produced."""
+    ([1, L] int32, LEFT-padded with zeros; an all-zero row = empty memory,
+    drafting then waits for generated history). The matchable window starts
+    at the FIRST nonzero id — only leading zeros are treated as padding, so
+    a real id-0 token mid-prompt (Qwen's "!") costs nothing. The ids need
+    not align with the spliced embeds: this is draft memory only and never
+    affects which tokens are produced."""
     C = state["ids_buf"].shape[1]
     L = lookup_ids.shape[1]
     ids32 = lookup_ids[0].astype(jnp.int32)
     row = jnp.zeros((C,), jnp.int32).at[:L].set(ids32)
+    nz = ids32 != 0
+    start = jnp.where(nz.any(), jnp.argmax(nz).astype(jnp.int32), L)
     return dict(
         state,
         ids_buf=state["ids_buf"].at[slot].set(row),
-        ids_start=state["ids_start"].at[slot].set(L - (ids32 != 0).sum()),
+        ids_start=state["ids_start"].at[slot].set(start),
         ids_len=state["ids_len"].at[slot].set(L),
     )
 
@@ -228,19 +233,6 @@ def _admit(params, state, cfg: Qwen3Config, slot: jnp.ndarray,
     return state
 
 
-def _constrained_pick(raw, processed, fsm, constraint):
-    """engine.generate's constrained selection: grammar masks the processed
-    logits; rows where processors banned every grammar-legal token fall back
-    to grammar-masked raw logits."""
-    if constraint is None:
-        return greedy_token(processed)
-    allowed = constraint[fsm] >= 0
-    cand = jnp.where(allowed, processed, -jnp.inf)
-    feasible = jnp.isfinite(cand).any(axis=-1, keepdims=True)
-    raw_cand = jnp.where(allowed, raw, -jnp.inf)
-    return greedy_token(jnp.where(feasible, cand, raw_cand))
-
-
 @partial(jax.jit, static_argnames=("cfg", "gen_cfg", "chunk"), donate_argnums=(1,))
 def _decode_chunk(params, state, cfg: Qwen3Config, gen_cfg: GenerationConfig, chunk: int,
                   constraint: Optional[jnp.ndarray] = None):
@@ -257,7 +249,7 @@ def _decode_chunk(params, state, cfg: Qwen3Config, gen_cfg: GenerationConfig, ch
         logits = apply_no_repeat_ngram(
             logits, state["seen_ids"], state["seen_len"], gen_cfg.no_repeat_ngram
         )
-        tok = _constrained_pick(state["next_logits"], logits, state["fsm"], constraint)
+        tok = constrained_greedy(state["next_logits"], logits, state["fsm"], constraint)
         stopped = state["done"] | ~state["active"]
         if constraint is not None:
             nxt = constraint[state["fsm"], tok]
@@ -344,31 +336,10 @@ def _spec_chunk(params, state, cfg: Qwen3Config, gen_cfg: GenerationConfig,
         return apply_no_repeat_ngram(l, seen_ids, seen_len, gen_cfg.no_repeat_ngram)
 
     raw0 = state["next_logits"]
-    tok0 = _constrained_pick(raw0, processors(raw0), fsm, constraint)
+    tok0 = constrained_greedy(raw0, processors(raw0), fsm, constraint)
 
     # ---- prompt-lookup drafting over the per-slot id history --------------
-    n1 = max(ngram - 1, 0)
-    key_pos = ids_len[:, None] - n1 + jnp.arange(n1)[None, :]
-    key_prev = ids_buf[rows[:, None], jnp.clip(key_pos, 0, C - 1)]
-    key = jnp.concatenate([key_prev, tok0[:, None]], axis=1)
-    jj = jnp.arange(C)
-    win_idx = jj[:, None] + jnp.arange(ngram)[None, :]
-    windows = ids_buf[:, jnp.clip(win_idx, 0, C - 1)]
-    match = jnp.all(windows == key[:, None, :], axis=-1)
-    enough_hist = (ids_len - ids_start) >= n1
-    valid_j = (
-        (jj[None, :] >= ids_start[:, None])
-        & (jj[None, :] + ngram <= ids_len[:, None])
-        & enough_hist[:, None]
-    )
-    avail = jnp.clip(ids_len[:, None] - (jj[None, :] + ngram), 0, k)
-    score = jnp.where(match & valid_j & (avail > 0), avail * C + jj[None, :], -1)
-    best = score.max(axis=-1)
-    has = best >= 0
-    p = jnp.where(has, best % C, 0)
-    d_idx = p[:, None] + ngram + jnp.arange(k)[None, :]
-    d_ok = has[:, None] & (d_idx < ids_len[:, None])
-    drafts = jnp.where(d_ok, ids_buf[rows[:, None], jnp.clip(d_idx, 0, C - 1)], 0)
+    drafts = draft_lookup(ids_buf, ids_start, ids_len, tok0, k, ngram)
 
     # ---- ONE forward over [tok0, drafts] at each slot's own depth ---------
     block = jnp.concatenate([tok0[:, None], drafts], axis=1)  # [B, k+1]
@@ -413,7 +384,7 @@ def _spec_chunk(params, state, cfg: Qwen3Config, gen_cfg: GenerationConfig,
         lpen = apply_repetition_penalty(
             lprev, seen_ids, seen_len, gen_cfg.repetition_penalty)
         lpen = apply_no_repeat_ngram(lpen, seen_ids, seen_len, gen_cfg.no_repeat_ngram)
-        true_j = _constrained_pick(lprev, lpen, fsm, constraint)
+        true_j = constrained_greedy(lprev, lpen, fsm, constraint)
         accept = alive & (drafts[:, j - 1] == true_j)
         seen_ids, seen_len, ids_buf, ids_len, out, fsm = record(
             accept, true_j, seen_ids, seen_len, ids_buf, ids_len, out, n_gen + a, fsm)
@@ -490,6 +461,12 @@ class SlotEngine:
         self.params = params
         self.cfg = cfg
         self.gen_cfg = gen_cfg
+        if gen_cfg.penalize_prompt:
+            raise ValueError(
+                "SlotEngine decodes from pre-spliced embeds; prompt ids are "
+                "not tracked, so penalize_prompt=True cannot reproduce "
+                "engine.generate semantics here (HF's inputs_embeds path "
+                "starts the penalty set empty — use penalize_prompt=False)")
         self.num_slots = num_slots
         self.max_len = max_len
         self.decode_chunk = decode_chunk
@@ -623,7 +600,9 @@ class SlotEngine:
             self.slot_futures[slot] = req.future
             self._slot_admit_boundary[slot] = self._chunk_idx + 1
             self.stats.requests += 1
-            self.stats.admission_log.append((self._chunk_idx, slot))
+            # diagnostics only — cap so a long-running daemon can't leak
+            if len(self.stats.admission_log) < 4096:
+                self.stats.admission_log.append((self._chunk_idx, slot))
             if was_decoding:
                 self.stats.admitted_mid_decode += 1
 

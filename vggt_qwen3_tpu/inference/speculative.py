@@ -50,21 +50,49 @@ import numpy as np
 
 from ..config import Qwen3Config
 from ..models import qwen3
-from .engine import GenerationConfig, _processors
-from ..ops.sampling import greedy_token
+from .engine import GenerationConfig, _processors, constrained_greedy, unpack_lengths
 
 
-def _constrained_greedy(raw_logits, processed, fsm_state, constraint):
-    """The engine's constrained-token selection (engine.py step): grammar
-    masks the processed logits; rows where processors banned every
-    grammar-legal token fall back to grammar-masked raw logits."""
-    if constraint is None:
-        return greedy_token(processed)
-    allowed = constraint[fsm_state] >= 0
-    cand = jnp.where(allowed, processed, -jnp.inf)
-    feasible = jnp.isfinite(cand).any(axis=-1, keepdims=True)
-    raw_cand = jnp.where(allowed, raw_logits, -jnp.inf)
-    return greedy_token(jnp.where(feasible, cand, raw_cand))
+def draft_lookup(ids_buf, ids_start, ids_len, tok0, k: int, ngram: int):
+    """Prompt-lookup drafting over a per-row token history (the shared core
+    of :func:`_iteration_body` and the slot engine's ``_spec_chunk``).
+
+    The key is the last ``ngram-1`` history tokens plus the just-selected
+    ``tok0``; among prior occurrences in ``[ids_start, ids_len)`` we prefer
+    the one with the most continuation tokens available (capped at ``k``,
+    most recent among ties) — a short loop's most recent occurrence sits
+    right behind the frontier with <k tokens after it, while one period
+    earlier yields the full k drafts.
+
+    Returns ``drafts [B, k]`` int32 (0-filled where no match / short
+    continuation — unmatched drafts simply get rejected by verification).
+    """
+    B, C = ids_buf.shape
+    rows = jnp.arange(B)
+    n1 = max(ngram - 1, 0)
+    key_pos = ids_len[:, None] - n1 + jnp.arange(n1)[None, :]
+    key_prev = ids_buf[rows[:, None], jnp.clip(key_pos, 0, C - 1)]
+    key = jnp.concatenate([key_prev, tok0[:, None]], axis=1)  # [B, ngram]
+    jj = jnp.arange(C)
+    win_idx = jj[:, None] + jnp.arange(ngram)[None, :]  # [C, ngram]
+    windows = ids_buf[:, jnp.clip(win_idx, 0, C - 1)]  # [B, C, ngram]
+    match = jnp.all(windows == key[:, None, :], axis=-1)
+    enough_hist = (ids_len - ids_start) >= n1  # key must be real history
+    valid_j = (
+        (jj[None, :] >= ids_start[:, None])
+        # the window's ids-buffer part must end before ids_len (tok0 itself
+        # is not yet written), with ≥1 continuation token after it
+        & (jj[None, :] + ngram <= ids_len[:, None])
+        & enough_hist[:, None]
+    )
+    avail = jnp.clip(ids_len[:, None] - (jj[None, :] + ngram), 0, k)
+    score = jnp.where(match & valid_j & (avail > 0), avail * C + jj[None, :], -1)
+    best = score.max(axis=-1)  # [B]
+    has = best >= 0
+    p = jnp.where(has, best % C, 0)
+    d_idx = p[:, None] + ngram + jnp.arange(k)[None, :]
+    d_ok = has[:, None] & (d_idx < ids_len[:, None])
+    return jnp.where(d_ok, ids_buf[rows[:, None], jnp.clip(d_idx, 0, C - 1)], 0)
 
 
 def _prefill_body(
@@ -169,38 +197,10 @@ def _iteration_body(
 
     # ---- token 0: exactly generate()'s per-step selection -----------------
     processed0 = _processors(next_logits, seen_ids, seen_len, gen_cfg)
-    tok0 = _constrained_greedy(next_logits, processed0, fsm_state, constraint)
+    tok0 = constrained_greedy(next_logits, processed0, fsm_state, constraint)
 
     # ---- draft k tokens by n-gram lookup (key = last ngram-1 ids + tok0) --
-    n1 = max(ngram - 1, 0)
-    key_pos = ids_len[:, None] - n1 + jnp.arange(n1)[None, :]
-    key_prev = ids_buf[rows[:, None], jnp.clip(key_pos, 0, C - 1)]
-    key = jnp.concatenate([key_prev, tok0[:, None]], axis=1)  # [B, ngram]
-    jj = jnp.arange(C)
-    win_idx = jj[:, None] + jnp.arange(ngram)[None, :]  # [C, ngram]
-    windows = ids_buf[:, jnp.clip(win_idx, 0, C - 1)]  # [B, C, ngram]
-    match = jnp.all(windows == key[:, None, :], axis=-1)
-    enough_hist = (ids_len - ids_start) >= n1  # key must be real history
-    valid_j = (
-        (jj[None, :] >= ids_start[:, None])
-        # window may use the key slot itself only via tok0 (not yet written):
-        # require the window's ids-buffer part to end before ids_len, and at
-        # least one continuation token to exist after it
-        & (jj[None, :] + ngram <= ids_len[:, None])
-        & enough_hist[:, None]
-    )
-    # Prefer the match with the most continuation tokens available (capped at
-    # k), most recent among ties: a short loop's most recent occurrence sits
-    # right behind the frontier with <k tokens after it, while an occurrence
-    # one period earlier yields the full k drafts.
-    avail = jnp.clip(ids_len[:, None] - (jj[None, :] + ngram), 0, k)
-    score = jnp.where(match & valid_j & (avail > 0), avail * C + jj[None, :], -1)
-    best = score.max(axis=-1)  # [B]
-    has = best >= 0
-    p = jnp.where(has, best % C, 0)
-    d_idx = p[:, None] + ngram + jnp.arange(k)[None, :]
-    d_ok = has[:, None] & (d_idx < ids_len[:, None])
-    drafts = jnp.where(d_ok, ids_buf[rows[:, None], jnp.clip(d_idx, 0, C - 1)], 0)
+    drafts = draft_lookup(ids_buf, ids_start, ids_len, tok0, k, ngram)
 
     # ---- ONE forward over the [tok0, drafts] block ------------------------
     block = jnp.concatenate([tok0[:, None], drafts], axis=1)  # [B, k+1]
@@ -244,7 +244,7 @@ def _iteration_body(
     for j in range(1, k + 1):
         prev = logits[:, j - 1]
         processed = _processors(prev, seen_ids, seen_len, gen_cfg)
-        true_j = _constrained_greedy(prev, processed, fsm_state, constraint)
+        true_j = constrained_greedy(prev, processed, fsm_state, constraint)
         accept = alive & (drafts[:, j - 1] == true_j)
         seen_ids, seen_len, ids_buf, ids_len, out, fsm_state = record(
             accept, true_j, seen_ids, seen_len, ids_buf, ids_len, out, n_gen + a,
@@ -388,7 +388,10 @@ def generate_speculative(
     read = total_tokens / iterations).
     """
     N = gen_cfg.max_new_tokens
-    budget = None if budget is None else jnp.asarray(budget, jnp.int32)
+    if budget is not None:
+        budget = jnp.asarray(budget, jnp.int32)
+        if not bool((budget >= 1).all()):
+            raise ValueError("per-row budgets must be >= 1")
     if mode == "fused":
         packed, iters = _spec_generate_fused(
             params, cfg, gen_cfg, draft_k, ngram,
@@ -420,12 +423,5 @@ def generate_speculative(
                 break
             prev_flag = all_done
         packed = np.asarray(_spec_pack(carry))
-    out, n_gen = packed[:, :N], packed[:, N]
-    if gen_cfg.eos_token_id is not None:
-        is_eos = out == gen_cfg.eos_token_id
-        seen_eos = np.cumsum(is_eos.astype(np.int32), axis=-1) - is_eos.astype(np.int32)
-        lengths = (seen_eos == 0).astype(np.int32).sum(-1)
-        lengths = np.minimum(lengths, n_gen)
-    else:
-        lengths = n_gen
+    out, lengths = unpack_lengths(packed, gen_cfg)
     return jnp.asarray(out), jnp.asarray(lengths), iters
