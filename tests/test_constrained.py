@@ -191,3 +191,34 @@ def test_unconstrained_path_unchanged(model):
     b, _ = generate_text(params, cfg, gen_cfg, input_ids=ids,
                          attention_mask=jnp.ones_like(ids), constraint=None)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_arkit_cli_constrained_speculative_identical(tmp_path):
+    """--constrained_json --speculative together: the speculative blocks run
+    under the schema FSM and produce byte-identical records to plain
+    constrained decoding (speculation is schedule-only)."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+
+    def run(out, extra):
+        proc = subprocess.run(
+            [sys.executable, "-m", "vggt_qwen3_tpu.inference.arkit",
+             "--tiny", "--mock_vision", "--config", "configs/toy.yaml",
+             "--glob", "data/toy/test.jsonl", "--max_scenes", "2",
+             "--max_new_tokens", "120", "--constrained_json",
+             "--batch_size", "2", "--output_jsonl", str(out)] + extra,
+            cwd=repo, env=env, capture_output=True, text=True, timeout=600,
+        )
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+        return [json.loads(l) for l in out.read_text().strip().splitlines()]
+
+    plain = run(tmp_path / "c.jsonl", [])
+    spec = run(tmp_path / "cs.jsonl", ["--speculative"])
+    assert len(plain) == len(spec) == 2
+    for a, b in zip(plain, spec):
+        assert a["raw_prediction"] == b["raw_prediction"]
