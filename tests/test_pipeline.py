@@ -196,14 +196,25 @@ def test_vlm_loss_pipeline_matches_plain_same_mesh():
     assert abs(out - ref) < 2e-5, (out, ref)
 
 
-def test_train_step_runs_on_pp_mesh():
+@pytest.mark.parametrize("lora", [False, True])
+def test_train_step_runs_on_pp_mesh(lora):
     """Full sharded train step (two-group AdamW + accum + clip) on a
     dp×tp×pp mesh: the trainer auto-builds the pipeline plan from the mesh,
-    the step runs, loss is finite, and a second (donated-state) call works."""
+    the step runs, loss is finite, and a second (donated-state) call works.
+    With ``lora=True`` the stacked adapters ([L, ...] under text.layers.lora)
+    stage-shard over pp alongside the base weights and train through the
+    pipelined layer_fn."""
+    import dataclasses
+
+    from vggt_qwen3_tpu.config import LoRAConfig
     from vggt_qwen3_tpu.parallel.sharding import shard_batch
     from vggt_qwen3_tpu.train import trainer
 
     stage, batch = _tiny_vlm_batch()
+    if lora:
+        stage = dataclasses.replace(
+            stage, lora=LoRAConfig(enable=True, rank=4, alpha=8, dropout=0.0)
+        )
     mesh = build_mesh(MeshConfig(dp=2, tp=2, pp=2))
 
     def init_fn(rng):

@@ -358,3 +358,33 @@ def test_constrained_slots_token_exact_and_spec_blocks(setup):
             # forced 4-cycle: after ~6 warmup blocks the lookup predicts
             # everything → ≤ 11 weight reads for 20 tokens (vs 20)
             assert eng.stats.chunks <= 11, eng.stats.chunks
+
+
+def test_prefix_cache_with_speculative_token_exact(setup):
+    """Shared-prefix KV reuse composes with speculative mode: suffix-only
+    admission on a stashed prefix row + verify-block decode is token-exact
+    vs the monolithic engine on the full prompt."""
+    cfg, params = setup
+    gen_cfg = GenerationConfig(max_new_tokens=10, eos_token_id=None, pad_token_id=0,
+                               repetition_penalty=1.1)
+    eng = SlotEngine(params, cfg, gen_cfg, num_slots=2, max_len=48,
+                     speculative=True, draft_k=4, ngram=3)
+
+    rng = np.random.default_rng(8)
+    prefix_ids = rng.integers(1, cfg.vocab_size, (1, 6))
+    pid = eng.register_prefix(
+        np.asarray(qwen3.embed_tokens(params, jnp.asarray(prefix_ids))))
+
+    suf_ids = np.random.default_rng(51).integers(1, cfg.vocab_size, (1, 7))
+    suf_mask = np.ones((1, 7), np.int32)
+    emb = np.asarray(qwen3.embed_tokens(params, jnp.asarray(suf_ids)))
+    fut = eng.submit_embeds(emb, suf_mask, prefix_id=pid,
+                            lookup_ids=suf_ids.astype(np.int64))
+    eng.run_until_idle()
+    toks, n = fut.result(timeout=60)
+
+    full_ids = np.concatenate([prefix_ids, suf_ids], axis=1)
+    full_mask = np.ones((1, 13), np.int32)
+    ref_toks, _ = _ref_generate(params, cfg, gen_cfg, full_ids, full_mask)
+    assert n == 10
+    np.testing.assert_array_equal(toks, ref_toks[:n])
