@@ -29,10 +29,158 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
+
+# ---------------------------------------------------------------------------
+# Driver-capture hardening (VERDICT r3 item 1): round 3's perf work was
+# invisible because the backend flapped at minute 0 and the bench burned the
+# driver budget on ~80 s of random-weight init before dying. Three defenses:
+#   1. _probe_backend(): a cheap SUBPROCESS probe with backoff before any
+#      heavy work — a hung in-process backend init is uninterruptible (the
+#      axon relay wedge blocks inside make_c_api_client), a child process
+#      isn't. Fails fast with a clear rc instead of eating the driver timeout.
+#   2. _cheap_params(): eval_shape the real init→quantize pipeline and fill
+#      every leaf with fused iota/sin patterns directly on device — ONE
+#      compile, no threefry, no transient bf16 copy next to the int8 one.
+#      Throughput is weight-value-independent (docstring above).
+#   3. _emit() + watchdog: the headline mode prints a preliminary metric line
+#      after the FIRST timed rep; a watchdog thread exits 0 at the soft
+#      deadline if any metric already printed (a later relay wedge can no
+#      longer zero the round) and exits 3 at the hard deadline otherwise.
+# ---------------------------------------------------------------------------
+
+_METRIC_PRINTED = False
+
+
+def _emit(metric: str, value: float, unit: str, vs_baseline: float) -> None:
+    """Print the driver-parsed JSON metric line (and arm the watchdog's
+    success path). May be called twice — preliminary then refined; both are
+    genuine measurements of the same metric."""
+    global _METRIC_PRINTED
+    print(
+        json.dumps({"metric": metric, "value": value, "unit": unit,
+                    "vs_baseline": vs_baseline}),
+        flush=True,
+    )
+    _METRIC_PRINTED = True
+
+
+_PROBE_SRC = (
+    "import jax, numpy as np, jax.numpy as jnp\n"
+    "x = jnp.ones((128, 128), jnp.bfloat16)\n"
+    "print('probe ok', float(np.asarray((x @ x).sum())), flush=True)\n"
+)
+
+
+def _probe_backend() -> None:
+    """Verify the backend accepts work BEFORE committing to heavy init.
+
+    Runs a tiny matmul in a fresh subprocess (bounded by timeout — the parent
+    survives a wedged relay) and retries with backoff. On exhaustion exits
+    rc=3 immediately: a fast, legible failure beats the driver's rc=124."""
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return
+    if os.environ.get("BENCH_TINY") == "1":
+        return
+    tries = int(os.environ.get("BENCH_PROBE_TRIES", "5"))
+    sleeps = [10, 20, 30, 45, 60]
+    for i in range(tries):
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                timeout=int(os.environ.get("BENCH_PROBE_TIMEOUT", "90")),
+                capture_output=True, text=True,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"bench: backend probe {i+1}/{tries} timed out "
+                  f"({time.time()-t0:.0f}s) — relay wedge pattern",
+                  file=sys.stderr, flush=True)
+            r = None
+        if r is not None and r.returncode == 0 and "probe ok" in r.stdout:
+            print(f"bench: backend probe ok in {time.time()-t0:.1f}s",
+                  file=sys.stderr, flush=True)
+            return
+        if r is not None:
+            tail = (r.stderr or "").strip().splitlines()[-1:] or ["(no stderr)"]
+            print(f"bench: backend probe {i+1}/{tries} failed rc={r.returncode}: "
+                  f"{tail[0][:200]}", file=sys.stderr, flush=True)
+        if i + 1 < tries:
+            time.sleep(sleeps[min(i, len(sleeps) - 1)])
+    print("bench: TPU backend unavailable after all probes — failing fast",
+          file=sys.stderr, flush=True)
+    raise SystemExit(3)
+
+
+def _start_watchdog() -> None:
+    """Exit 0 at the soft deadline if a metric line already printed (a wedge
+    after first emission can't zero the round); exit 3 at the hard deadline
+    otherwise. os._exit is deliberate: a wedged fetch blocks in C and ignores
+    exceptions."""
+    soft = float(os.environ.get("BENCH_DEADLINE_S", "1500"))
+    hard = soft * 2
+
+    def watch():
+        t0 = time.time()
+        while True:
+            time.sleep(10)
+            dt = time.time() - t0
+            if dt >= soft and _METRIC_PRINTED:
+                print(f"bench: watchdog soft deadline ({soft:.0f}s) — metric "
+                      "already emitted, exiting 0", file=sys.stderr, flush=True)
+                os._exit(0)
+            if dt >= hard:
+                print(f"bench: watchdog hard deadline ({hard:.0f}s) — no "
+                      "metric, exiting 3", file=sys.stderr, flush=True)
+                os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+
+
+def _cheap_init_on() -> bool:
+    return os.environ.get("BENCH_CHEAP_INIT", "1") == "1"
+
+
+def _cheap_params(init_fn):
+    """Structure-true pseudo-weights without RNG: ``eval_shape`` the real
+    (init → quantize) pipeline, then fill every leaf on device with fused
+    iota/sin patterns in ONE jitted program. int8 leaves get a mod-251
+    sawtooth, norm/layerscale weights 1.0, quant scales a small positive,
+    floats sin(·)·0.02 — non-degenerate, finite, and irrelevant to
+    throughput. Replaces ~80 s of threefry init + per-matrix quantize
+    compiles with one cheap compile (VERDICT r3 item 1a)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.tree_util import tree_flatten_with_path, tree_unflatten
+
+    shapes = jax.eval_shape(init_fn)
+    leaves, treedef = tree_flatten_with_path(shapes)
+    primes = (3.0, 7.0, 13.0, 29.0, 53.0)
+
+    def fill(path, spec, i):
+        name = "/".join(str(getattr(k, "key", k)) for k in path).lower()
+        shape, dt = spec.shape, spec.dtype
+        acc = jnp.zeros(shape, jnp.float32)
+        for d in range(len(shape)):
+            acc = acc + jax.lax.broadcasted_iota(jnp.float32, shape, d) * primes[d % len(primes)]
+        if jnp.issubdtype(dt, jnp.integer):
+            return (jnp.mod(acc + float(i), 251.0) - 125.0).astype(dt)
+        if "scale" in name:  # quant scales: small positive
+            return jnp.full(shape, 2e-4, dt)
+        if "ln" in name or "norm" in name:
+            return jnp.ones(shape, dt)
+        return (jnp.sin(acc * 0.12 + float(i)) * 0.02).astype(dt)
+
+    @jax.jit
+    def build():
+        return tree_unflatten(treedef, [fill(p, s, i) for i, (p, s) in enumerate(leaves)])
+
+    return build()
 
 
 def _text_quant_mode() -> str:
@@ -66,10 +214,15 @@ def e2e_mode() -> None:
         text=QWEN3_4B_INSTRUCT_2507, vision=VGGT_1B, projector=PerceiverConfig(),
         num_vis_tokens=128, geom_tokens=0, dtype="bfloat16",
     )
-    params = vlm.init_params(jax.random.PRNGKey(0), cfg, dtype="bfloat16")
     wq = _text_quant_mode()
-    if wq != "none":
-        params["text"] = qwen3.quantize_params(params["text"], mode=wq)
+
+    def real_init():
+        p = vlm.init_params(jax.random.PRNGKey(0), cfg, dtype="bfloat16")
+        if wq != "none":
+            p["text"] = qwen3.quantize_params(p["text"], mode=wq)
+        return p
+
+    params = _cheap_params(real_init) if _cheap_init_on() else real_init()
     np.asarray(jax.tree.leaves(params)[0][0])
 
     img_id = cfg.text.vocab_size - 1
@@ -162,17 +315,7 @@ def e2e_mode() -> None:
             file=sys.stderr, flush=True,
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_single_view_query_ms",
-                "value": round(ms, 1),
-                "unit": "ms",
-                "vs_baseline": round(200.0 / ms, 3),
-            }
-        ),
-        flush=True,
-    )
+    _emit("e2e_single_view_query_ms", round(ms, 1), "ms", round(200.0 / ms, 3))
 
 
 def qa_mode() -> None:
@@ -197,13 +340,18 @@ def qa_mode() -> None:
         text=QWEN3_4B_INSTRUCT_2507, vision=VGGT_1B, projector=PerceiverConfig(),
         num_vis_tokens=128, geom_tokens=0, dtype="bfloat16",
     )
-    params = vlm.init_params(jax.random.PRNGKey(0), cfg, dtype="bfloat16")
     wq = _text_quant_mode()
-    if wq != "none":
-        params["text"] = qwen3.quantize_params(params["text"], mode=wq)
     vq = os.environ.get("BENCH_VQUANT", "none")  # none|w8|w8a8 (frozen tower)
-    if vq != "none":
-        params = vlm.quantize_vision(params, mode=vq)
+
+    def real_init():
+        p = vlm.init_params(jax.random.PRNGKey(0), cfg, dtype="bfloat16")
+        if wq != "none":
+            p["text"] = qwen3.quantize_params(p["text"], mode=wq)
+        if vq != "none":
+            p = vlm.quantize_vision(p, mode=vq)
+        return p
+
+    params = _cheap_params(real_init) if _cheap_init_on() else real_init()
     np.asarray(jax.tree.leaves(params)[0][0])
 
     img_id = cfg.text.vocab_size - 1
@@ -230,20 +378,10 @@ def qa_mode() -> None:
         np.asarray(toks)
         times.append(time.time() - t0)
     sps = B / min(times)
-    print(
-        json.dumps(
-            {
-                "metric": "qa_samples_per_sec_chip",
-                "value": round(sps, 2),
-                "unit": "samples/s",
-                # baseline: the reference runs this path serially at batch 1
-                # through HF generate; no speed figure published — target the
-                # <200ms/query north star (5 qps).
-                "vs_baseline": round(sps / 5.0, 3),
-            }
-        ),
-        flush=True,
-    )
+    # baseline: the reference runs this path serially at batch 1 through HF
+    # generate; no speed figure published — target the <200ms/query north
+    # star (5 qps).
+    _emit("qa_samples_per_sec_chip", round(sps, 2), "samples/s", round(sps / 5.0, 3))
 
 
 def train_mode() -> None:
@@ -306,7 +444,12 @@ def train_mode() -> None:
         return p
 
     t0 = time.time()
-    params = jax.jit(init_all)(jax.random.PRNGKey(0))
+    if _cheap_init_on() and not tiny:
+        # cheap fill (norms=1 keeps the loss finite); values don't affect
+        # step time and the isfinite assert below still guards the numerics
+        params = _cheap_params(lambda: init_all(jax.random.PRNGKey(0)))
+    else:
+        params = jax.jit(init_all)(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
     print(f"init: {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
 
@@ -422,18 +565,9 @@ def train_mode() -> None:
         f"step time at 8× global batch",
         file=sys.stderr, flush=True,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "stage1_train_step_s",
-                "value": round(step_s, 2),
-                "unit": "s/step",
-                # reference budget: 30k steps in a 24h Slurm window → 2.88 s/step
-                "vs_baseline": round((24 * 3600 / 30000) / step_s, 3),
-            }
-        ),
-        flush=True,
-    )
+    # reference budget: 30k steps in a 24h Slurm window → 2.88 s/step
+    _emit("stage1_train_step_s", round(step_s, 2), "s/step",
+          round((24 * 3600 / 30000) / step_s, 3))
 
 
 def serve_mode() -> None:
@@ -477,10 +611,19 @@ def serve_mode() -> None:
         for s, t in enumerate(cyc):
             table[s, t] = (s + 1) % len(cyc)
         constraint = jnp.asarray(table)
-    params = qwen3.init_params(jax.random.PRNGKey(0), cfg, dtype=cfg.dtype)
     wq = _text_quant_mode()
-    if wq != "none" and not tiny:
-        params = qwen3.quantize_params(params, mode=wq)
+
+    def real_init():
+        p = qwen3.init_params(jax.random.PRNGKey(0), cfg, dtype=cfg.dtype)
+        if wq != "none" and not tiny:
+            p = qwen3.quantize_params(p, mode=wq)
+        return p
+
+    # spec serving measures acceptance on real output distributions — cheap
+    # deterministic weights would skew it (see spec_mode), so cheap init is
+    # reserved for the non-speculative serve workload
+    params = (_cheap_params(real_init)
+              if _cheap_init_on() and not tiny and not spec else real_init())
     gen_cfg = GenerationConfig(
         max_new_tokens=new_tokens, eos_token_id=None, pad_token_id=0,
         kv_dtype=None if tiny else "int8",
@@ -531,18 +674,8 @@ def serve_mode() -> None:
         f"{eng.stats.chunks} chunks, {eng.stats.admitted_mid_decode} mid-decode admissions",
         file=sys.stderr, flush=True,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "served_requests_per_sec",
-                "value": round(rps, 2),
-                # north star <200 ms/query ⇒ 5 qps reference point
-                "unit": "req/s",
-                "vs_baseline": round(rps / 5.0, 3),
-            }
-        ),
-        flush=True,
-    )
+    # north star <200 ms/query ⇒ 5 qps reference point
+    _emit("served_requests_per_sec", round(rps, 2), "req/s", round(rps / 5.0, 3))
 
 
 def ring_mode() -> None:
@@ -628,17 +761,7 @@ def ring_mode() -> None:
         file=sys.stderr, flush=True,
     )
     ok = diff_merge < 0.05 * scale_ref and diff_ring < 0.05 * scale_ref
-    print(
-        json.dumps(
-            {
-                "metric": "ring_32view_flash_ms",
-                "value": round(flash_ms, 2),
-                "unit": "ms",
-                "vs_baseline": 1.0 if ok else 0.0,
-            }
-        ),
-        flush=True,
-    )
+    _emit("ring_32view_flash_ms", round(flash_ms, 2), "ms", 1.0 if ok else 0.0)
     if not ok:
         raise SystemExit("ring/flash consistency out of tolerance")
 
@@ -677,6 +800,10 @@ def spec_mode() -> None:
     k = int(os.environ.get("BENCH_SPEC_K", "4" if tiny else "6"))
     prompt_len = 32
 
+    # spec mode keeps REAL random init: the free-text bracket measures
+    # prompt-lookup acceptance on the output token distribution, and cheap
+    # deterministic weights can emit repetitive tokens that inflate it —
+    # the one bench where weight values are NOT throughput-irrelevant.
     params = qwen3.init_params(jax.random.PRNGKey(0), cfg, dtype=cfg.dtype)
     wq = _text_quant_mode()
     if wq != "none" and not tiny:
@@ -813,17 +940,7 @@ def spec_mode() -> None:
             f"({a_ms/s_ms:.2f}×, {int(np.asarray(a_iters))} weight reads for {NA} tok)",
             file=sys.stderr, flush=True,
         )
-    print(
-        json.dumps(
-            {
-                "metric": "spec_decode_json_speedup",
-                "value": round(speedup, 2),
-                "unit": "x",
-                "vs_baseline": round(speedup, 2),
-            }
-        ),
-        flush=True,
-    )
+    _emit("spec_decode_json_speedup", round(speedup, 2), "x", round(speedup, 2))
 
 
 def _kv_dtype(tiny: bool):
@@ -870,19 +987,30 @@ def main() -> None:
         flush=True,
     )
 
-    rng = jax.random.PRNGKey(0)
     t0 = time.time()
-    params = qwen3.init_params(rng, cfg, dtype=cfg.dtype)
     # w8 (default): int8 weights, bf16 activations — near-lossless per the
     # mid-size drift gates, so it is the published headline. BENCH_QUANT=w8a8
     # adds dynamic per-row int8 activations (int8×int8 MXU dots at 2× the
     # bf16 rate → ~1.5× tok/s) but its real-weight EM delta is unverified;
     # =none for bf16.
     bench_quant = _text_quant_mode()
-    if bench_quant in ("w8", "w8a8") and not tiny:
-        params = qwen3.quantize_params(params, mode=bench_quant)
+
+    def real_init():
+        p = qwen3.init_params(jax.random.PRNGKey(0), cfg, dtype=cfg.dtype)
+        if bench_quant in ("w8", "w8a8") and not tiny:
+            p = qwen3.quantize_params(p, mode=bench_quant)
+        return p
+
+    if tiny or not _cheap_init_on():
+        params = real_init()
+    else:
+        # same tree structure/dtypes as real_init, filled on device in one
+        # cheap compile — tok/s is weight-value-independent (module docstring)
+        params = _cheap_params(real_init)
     jax.block_until_ready(params)
-    print(f"init params: {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+    print(f"init params: {time.time()-t0:.1f}s "
+          f"({'cheap' if not tiny and _cheap_init_on() else 'real'})",
+          file=sys.stderr, flush=True)
 
     gen_cfg = GenerationConfig(
         max_new_tokens=decode_steps,
@@ -902,36 +1030,42 @@ def main() -> None:
     np.asarray(tokens)
     print(f"compile+warmup: {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
 
-    # timed (full generate incl. prefill; decode dominates at these sizes)
+    # timed (full generate incl. prefill; decode dominates at these sizes).
+    # The FIRST rep's number is emitted immediately as a preliminary metric
+    # line — a relay wedge later in the run can then no longer zero the
+    # round (the watchdog exits 0 once any metric printed). The refined
+    # min-of-reps line follows; both are genuine measurements.
     reps = 3
     times = []
-    for _ in range(reps):
+    for i in range(reps):
         t0 = time.time()
         tokens, _ = generate(params, cfg, gen_cfg, inputs_embeds=embeds, attention_mask=mask)
         np.asarray(tokens)
         times.append(time.time() - t0)
+        if i == 0:
+            tok_s0 = B * decode_steps / times[0]
+            print(f"preliminary (rep 1): {tok_s0:.0f} tok/s", file=sys.stderr, flush=True)
+            _emit("qwen3_4b_decode_tok_s_chip", round(tok_s0, 1), "tok/s",
+                  round(tok_s0 / target, 3))
     dt = min(times)
     tok_s = B * decode_steps / dt
     print(f"{dt*1000:.1f} ms/call → {tok_s:.0f} tok/s", file=sys.stderr, flush=True)
-
-    print(
-        json.dumps(
-            {
-                "metric": "qwen3_4b_decode_tok_s_chip",
-                "value": round(tok_s, 1),
-                "unit": "tok/s",
-                "vs_baseline": round(tok_s / target, 3),
-            }
-        ),
-        flush=True,
-    )
+    _emit("qwen3_4b_decode_tok_s_chip", round(tok_s, 1), "tok/s",
+          round(tok_s / target, 3))
 
 
 def _main_with_retry() -> None:
     """The tunneled compile helper occasionally 500s (transient); re-exec a
-    fresh process once rather than lose the round's headline metric."""
+    fresh process once rather than lose the round's headline metric. The
+    backend probe runs FIRST (fast, bounded, subprocess-isolated) so a dead
+    relay fails in minutes, not at the driver timeout."""
+    _start_watchdog()
+    if os.environ.get("BENCH_RETRIED") != "1":
+        _probe_backend()
     try:
         main()
+    except SystemExit:
+        raise
     except Exception:
         if os.environ.get("BENCH_RETRIED") == "1":
             raise
