@@ -317,7 +317,16 @@ def audit_component(
     reshape_ok: Iterable[str] = (),
 ) -> Dict:
     reshape_ok = set(reshape_ok)
-    canon_actual = {_canon(k, component): (k, v) for k, v in actual.items()}
+    # Build the canonical map collision-aware: two actual keys canonicalizing
+    # identically (e.g. 'foo' and 'model.foo') would silently shadow each
+    # other and one tensor would escape the audit — report as failures.
+    canon_actual: Dict[str, Tuple[str, Dict]] = {}
+    collisions: List[Dict] = []
+    for k, v in actual.items():
+        name = _canon(k, component)
+        if name in canon_actual:
+            collisions.append({"canonical": name, "keys": [canon_actual[name][0], k]})
+        canon_actual[name] = (k, v)
     matched: List[str] = []
     mismatched: List[Dict] = []
     missing: List[str] = []
@@ -357,7 +366,8 @@ def audit_component(
         "shape_mismatch": mismatched,
         "bypassed_remainder": sorted(bypassed),
         "unknown_remainder": sorted(unknown),
-        "ok": not missing and not mismatched and not unknown,
+        "canon_collisions": collisions,
+        "ok": not missing and not mismatched and not unknown and not collisions,
     }
 
 

@@ -238,6 +238,26 @@ def compile_constraint_table(
         table[sink, eos] = sink
     if pad is not None:
         table[sink, pad] = sink
+
+    # Coverage check: every state reachable from 0 must allow ≥1 token.
+    # A tokenizer lacking coverage for some transition char would leave an
+    # all −1 row; greedy would then silently emit token 0 and the engine's
+    # state clamp would reset the FSM — garbage output with no error.
+    reachable = {0}
+    stack = [0]
+    while stack:
+        row = table[stack.pop()]
+        for nxt in np.unique(row[row >= 0]):
+            if int(nxt) not in reachable:
+                reachable.add(int(nxt))
+                stack.append(int(nxt))
+    dead = sorted(s for s in reachable if not (table[s] >= 0).any())
+    if dead:
+        raise ValueError(
+            f"constraint table has reachable state(s) with no allowed token: "
+            f"{dead} — the tokenizer cannot express some DFA transition "
+            f"(accepting states also need eos_token_id to terminate)"
+        )
     return table
 
 

@@ -621,8 +621,9 @@ class SlotEngine:
                 continue
             n = int(n_gen[i])
             toks = out[i, :n]
-            # trim the trailing EOS from the visible count (engine.generate's
-            # lengths semantics counts EOS; decode strips specials anyway)
+            # n and stats.tokens INCLUDE the trailing EOS, matching
+            # engine.generate's lengths semantics; decode(skip_special_tokens)
+            # hides it from the visible text
             self.stats.tokens += n
             fut.set_result((toks.copy(), n))
             self.slot_futures[i] = None

@@ -191,7 +191,8 @@ def _flash_attention_impl(
         full = -(-n // 128) * 128
         return full if full <= 2048 else cap
 
-    explicit_blocks = block_q is not None or block_kv is not None
+    q_explicit = block_q is not None
+    kv_explicit = block_kv is not None
     if block_q is None:
         block_q = _auto(S, 512)
     if block_kv is None:
@@ -199,21 +200,29 @@ def _flash_attention_impl(
     # cap the [bq, bkv] fp32 score/prob tile: 1152² (~5.3 MB, the measured
     # vision shape) is safe alongside q/k/v/acc tiles; independent 2048 caps
     # would allow a 16 MB tile that blows the ~16 MB VMEM budget for
-    # sequences in the (1152, 2048] band. Auto-selected blocks only —
-    # explicitly passed blocks are the caller's tuning contract.
-    if explicit_blocks:
-        if block_q * block_kv > 1152 * 1152:
+    # sequences in the (1152, 2048] band. Explicitly passed blocks are the
+    # caller's tuning contract (hard error); auto-selected ones shrink to fit
+    # around them.
+    _CAP = 1152 * 1152
+    if block_q * block_kv > _CAP and q_explicit and kv_explicit:
+        raise ValueError(
+            f"explicit block_q={block_q} × block_kv={block_kv} exceeds the "
+            f"~16 MB VMEM score-tile budget (cap {_CAP}); pass "
+            "smaller blocks or omit them for auto selection"
+        )
+    while block_q * block_kv > _CAP:
+        can_q = not q_explicit and block_q > 128
+        can_kv = not kv_explicit and block_kv > 128
+        if not (can_q or can_kv):
+            which = f"block_q={block_q}" if q_explicit else f"block_kv={block_kv}"
             raise ValueError(
-                f"explicit block_q={block_q} × block_kv={block_kv} exceeds the "
-                f"~16 MB VMEM score-tile budget (cap {1152 * 1152}); pass "
-                "smaller blocks or omit them for auto selection"
+                f"explicit {which} exceeds the ~16 MB VMEM score-tile budget "
+                f"(cap {_CAP}) even with the minimal 128 partner block"
             )
-    else:
-        while block_q * block_kv > 1152 * 1152:
-            if block_q >= block_kv:
-                block_q = max(128, block_q // 2)
-            else:
-                block_kv = max(128, block_kv // 2)
+        if can_q and (not can_kv or block_q >= block_kv):
+            block_q = max(128, block_q // 2)
+        else:
+            block_kv = max(128, block_kv // 2)
     # never exceed the (8-aligned) sequence itself; keeps tiny explicit test
     # blocks intact and avoids over-padding when S is just above a multiple
     block_q = max(8, min(block_q, -(-S // 8) * 8))

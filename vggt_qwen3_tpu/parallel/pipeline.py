@@ -56,7 +56,18 @@ class PipelinePlan:
         return self.mesh.shape.get("pp", 1)
 
     def __hash__(self):  # usable as a static jit arg
-        return hash((id(self.mesh), self.num_microbatches))
+        # Hash on stable mesh contents (Mesh.__eq__ — and hence the frozen
+        # dataclass __eq__ — compares by value): equal plans built around
+        # distinct-but-equal Mesh objects must hash equally or jit retraces.
+        m = self.mesh
+        return hash(
+            (
+                tuple(m.axis_names),
+                m.devices.shape,
+                tuple(d.id for d in m.devices.flat),
+                self.num_microbatches,
+            )
+        )
 
 
 def pipeline_decoder(
