@@ -1,0 +1,128 @@
+"""Numerics for the fused Pallas GQA decode-attention kernel
+(``ops/decode_attention.py``) against the XLA oracle
+(``ops.attention.mha_quantized_kv`` / ``mha`` in head-major layout), run in
+interpreter mode on CPU. On-TPU token-exactness through ``engine.generate``
+is exercised by the bench harness (the kernel dispatches only on a real TPU
+backend — ``models/qwen3.py`` ``use_decode_kernel``)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vggt_qwen3_tpu.ops.attention import mha, mha_quantized_kv
+from vggt_qwen3_tpu.ops.decode_attention import (
+    decode_attention_eligible,
+    gqa_decode_attention,
+)
+
+L, B, NH, NKV, T, D = 3, 4, 8, 2, 64, 128
+
+
+def _rand_cache(rng, quantized: bool):
+    if quantized:
+        k = rng.integers(-127, 128, (L, B, NKV, T, D)).astype(np.int8)
+        v = rng.integers(-127, 128, (L, B, NKV, T, D)).astype(np.int8)
+        ks = (rng.uniform(0.5, 2.0, (L, B, NKV, T)) * 0.01).astype(np.float32)
+        vs = (rng.uniform(0.5, 2.0, (L, B, NKV, T)) * 0.01).astype(np.float32)
+        return (
+            jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(ks, jnp.bfloat16), jnp.asarray(vs, jnp.bfloat16),
+        )
+    k = jnp.asarray(rng.standard_normal((L, B, NKV, T, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((L, B, NKV, T, D)), jnp.float32)
+    return k, v, None, None
+
+
+def _frontier(rng):
+    start = rng.integers(0, 8, (B,)).astype(np.int32)
+    end = rng.integers(16, T + 1, (B,)).astype(np.int32)
+    return jnp.asarray(start), jnp.asarray(end)
+
+
+def _frontier_mask(start, end):
+    pos = jnp.arange(T)[None, :]
+    return (pos >= start[:, None]) & (pos < end[:, None])  # [B, T]
+
+
+@pytest.mark.parametrize("block_b", [1, 2, 4])
+def test_quantized_matches_xla_oracle(block_b):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, NH, D)), jnp.float32)
+    k, v, ks, vs = _rand_cache(rng, quantized=True)
+    start, end = _frontier(rng)
+    mask = _frontier_mask(start, end)[:, None, None, :]
+
+    for li in range(L):
+        got = gqa_decode_attention(
+            q, k, v, li, start, end, ks, vs, interpret=True, block_b=block_b
+        )
+        ref = mha_quantized_kv(
+            q[:, None], k[li], ks[li], v[li], vs[li],
+            mask=mask, kv_heads_major=True,
+        )[:, 0]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref, np.float32), rtol=2e-2, atol=2e-4
+        )
+
+
+def test_bf16_cache_matches_xla_oracle():
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((B, NH, D)), jnp.float32)
+    k, v, _, _ = _rand_cache(rng, quantized=False)
+    start, end = _frontier(rng)
+    mask = _frontier_mask(start, end)[:, None, None, :]
+
+    got = gqa_decode_attention(q, k, v, 1, start, end, interpret=True, block_b=2)
+    ref = mha(q[:, None], k[1], v[1], mask=mask, kv_heads_major=True)[:, 0]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_layer_index_selects_the_right_layer():
+    """The scalar-prefetched layer index must pick layer li's KV — a wrong
+    index map would silently attend over another layer's history."""
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.standard_normal((B, NH, D)), jnp.float32)
+    k, v, ks, vs = _rand_cache(rng, quantized=True)
+    start = jnp.zeros((B,), jnp.int32)
+    end = jnp.full((B,), T, jnp.int32)
+
+    out0 = gqa_decode_attention(q, k, v, 0, start, end, ks, vs, interpret=True)
+    out2 = gqa_decode_attention(q, k, v, 2, start, end, ks, vs, interpret=True)
+    assert not np.allclose(np.asarray(out0), np.asarray(out2))
+    # traced layer index (as inside the decoder scan) matches the static one
+    out2b = gqa_decode_attention(
+        q, k, v, jnp.asarray(2, jnp.int32), start, end, ks, vs, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(out2b))
+
+
+def test_single_valid_slot_row():
+    """A row whose frontier is one token wide must return exactly that
+    token's V (softmax over a single slot), not NaN."""
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((B, NH, D)), jnp.float32)
+    k, v, ks, vs = _rand_cache(rng, quantized=True)
+    start = jnp.asarray([0, 5, 0, 0], jnp.int32)
+    end = jnp.asarray([1, 6, T, T], jnp.int32)
+
+    got = np.asarray(gqa_decode_attention(q, k, v, 0, start, end, ks, vs, interpret=True))
+    assert np.isfinite(got).all()
+    # row 1, kv-head h: output of its query heads == dequantized v[slot 5]
+    deq = np.asarray(v[0, 1, :, 5].astype(jnp.float32)) * np.asarray(
+        vs[0, 1, :, 5].astype(jnp.float32)
+    )[:, None]  # [NKV, D]
+    group = NH // NKV
+    for h in range(NH):
+        np.testing.assert_allclose(got[1, h], deq[h // group], rtol=2e-2, atol=2e-4)
+
+
+def test_eligibility_gate():
+    assert decode_attention_eligible(368, 32, 8, 160, 128, jnp.int8)
+    assert not decode_attention_eligible(368, 32, 8, 62, 128, jnp.int8)  # T misaligned
+    assert not decode_attention_eligible(368, 32, 8, 160, 64, jnp.int8)  # D != 128
+    assert not decode_attention_eligible(1, 32, 8, 160, 128, jnp.int8)  # tiny cache
+    assert decode_attention_eligible(368, 32, 8, 160, 128, jnp.bfloat16)
+    assert not decode_attention_eligible(368, 32, 8, 152, 128, jnp.bfloat16)

@@ -173,6 +173,7 @@ def generate(
         logits_new, cache = qwen3.forward(
             params, cfg, inputs_embeds=emb, attention_mask=mask,
             positions=(next_pos + t)[:, None], cache=cache, cache_offset=S + t,
+            decode_frontier=True,
         )
         carry = (cache, mask, logits_new[:, 0], next_pos, seen_ids, seen_len, done_next, fsm_state)
         return carry, out_tok
@@ -288,6 +289,7 @@ def _ee_step(params, cfg, gen_cfg, constraint, S, carry, t):
     logits_new, cache = qwen3.forward(
         params, cfg, inputs_embeds=emb, attention_mask=mask,
         positions=(next_pos + t)[:, None], cache=cache, cache_offset=S + t,
+        decode_frontier=True,
     )
     return (cache, mask, logits_new[:, 0], next_pos, seen_ids, seen_len,
             done_next, fsm_state, n_gen, budget, out)

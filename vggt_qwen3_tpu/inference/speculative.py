@@ -191,7 +191,7 @@ def _iteration_body(
     S = prompt_key_mask.shape[1]
     N = out.shape[1]
     C = ids_buf.shape[1]
-    T = cache["k"].shape[2]
+    T = cache["k"].shape[3]  # head-major cache [L, B, NKV, T, D]
     rows = jnp.arange(B)
     eos = gen_cfg.eos_token_id
 

@@ -21,6 +21,7 @@ TPU-first design notes:
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -82,14 +83,19 @@ def init_params(rng: jax.Array, cfg: Qwen3Config, dtype: Optional[str] = None) -
 def init_cache(
     cfg: Qwen3Config, batch: int, max_len: int, dtype: Optional[str] = None
 ) -> Dict[str, jnp.ndarray]:
-    """Contiguous KV cache: k/v of shape [L, B, max_len, NKV, D].
+    """Contiguous KV cache: k/v of shape [L, B, NKV, max_len, D].
+
+    **Head-major** layout: each (batch row, kv head) owns a contiguous
+    ``[T, D]`` slab, so decode-attention kernels DMA whole per-head K/V
+    histories without relayout, and the per-step write touches one row per
+    head instead of a strided scatter across heads.
 
     ``dtype='int8'`` stores quantized K/V with per-(token, head) bf16 scales
-    (``ks``/``vs`` [L, B, T, NKV]) — halves decode KV traffic, the dominant
+    (``ks``/``vs`` [L, B, NKV, T]) — halves decode KV traffic, the dominant
     HBM cost after weight quantization; opt-in (default bf16 for parity).
     """
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
     if (dtype or cfg.dtype) == "int8":
-        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
         sshape = shape[:-1]
         return {
             "k": jnp.zeros(shape, jnp.int8),
@@ -98,7 +104,6 @@ def init_cache(
             "vs": jnp.zeros(sshape, jnp.bfloat16),
         }
     dt = jnp.dtype(dtype or cfg.dtype)
-    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
     return {"k": jnp.zeros(shape, dtype=dt), "v": jnp.zeros(shape, dtype=dt)}
 
 
@@ -175,6 +180,7 @@ def forward_hidden(
     cache: Optional[Dict[str, jnp.ndarray]] = None,
     cache_offset: int | jnp.ndarray = 0,
     prefill_padding: Optional[str] = None,
+    decode_frontier: bool = False,
     pipeline=None,
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     """Run the decoder stack.
@@ -199,6 +205,12 @@ def forward_hidden(
             contiguous, unlocking the Pallas flash-attention prefill path
             (inference only; the kernel has no VJP). Requires
             ``cache_offset == 0`` with a cache present.
+        decode_frontier: declares that each ``attention_mask`` row is ONE
+            contiguous ``[start, end)`` run of valid kv slots that already
+            encodes causality (true for every engine decode step — left-padded
+            prompt + appended generation). With ``S == 1`` this unlocks the
+            fused Pallas decode-attention kernel
+            (``ops.decode_attention``) on TPU at eligible shapes.
         pipeline: optional ``parallel.pipeline.PipelinePlan`` — when its mesh
             has ``pp > 1``, the (cache-free) training path runs the layer
             stack as a GPipe pipeline over the ``pp`` mesh axis instead of a
@@ -207,7 +219,7 @@ def forward_hidden(
         (hidden [B, S, H], updated cache or None)
     """
     B, S, _ = inputs_embeds.shape
-    kv_len = cache["k"].shape[2] if cache is not None else S
+    kv_len = cache["k"].shape[3] if cache is not None else S
     # [B] cache_offset → per-row scatter decode (continuous batching; S > 1 is
     # the ragged block-verify path of speculative decoding — each row appends
     # an S-token block at its own depth)
@@ -269,19 +281,55 @@ def forward_hidden(
 
         quantized_kv = "ks" in cache
 
+        # Fused decode-attention kernel gate: S=1, frontier-declared mask,
+        # TPU backend, eligible shapes (ops/decode_attention.py). The kernel
+        # reads the WHOLE stacked cache with a scalar-prefetched layer index
+        # so the scan never materializes per-layer slices for it.
+        use_decode_kernel = (
+            decode_frontier
+            and S == 1
+            and attention_mask is not None
+            and attention_mask.ndim == 2
+            and os.environ.get("VGGT_DECODE_KERNEL", "1") != "0"
+            and jax.default_backend() == "tpu"
+        )
+        if use_decode_kernel:
+            from ..ops.decode_attention import (
+                decode_attention_eligible,
+                gqa_decode_attention,
+            )
+
+            use_decode_kernel = decode_attention_eligible(
+                B, cfg.num_heads, cfg.num_kv_heads, kv_len, cfg.head_dim,
+                cache["k"].dtype,
+            )
+        if use_decode_kernel:
+            am = attention_mask.astype(jnp.int32)
+            f_start = jnp.argmax(am, axis=-1).astype(jnp.int32)
+            f_end = f_start + am.sum(-1).astype(jnp.int32)
+            # belt-and-braces causal clamp (engine masks already stop at the
+            # frontier; a sloppier caller's mask must not see the future)
+            f_end = jnp.minimum(f_end, jnp.asarray(cache_offset, jnp.int32) + 1)
+
         rows = jnp.arange(B)
 
         def write_kv(c, li, name, val):
-            """KV write for this layer: contiguous slice update at a scalar
-            offset, or a per-row scatter at [B] offsets (continuous-batching
-            decode / speculative block verify — each sequence appends its
-            S-token block at its own depth)."""
+            """KV write for this layer into the head-major cache
+            ([L, B, NKV, T, ...]; ``val`` arrives seq-major [B, S, NKV, ...]):
+            contiguous slice update at a scalar offset, or a per-row scatter
+            at [B] offsets (continuous-batching decode / speculative block
+            verify — each sequence appends its S-token block at its own
+            depth)."""
             buf = c[name]
             if per_row:
                 offs = cache_offset[:, None] + jnp.arange(val.shape[1])[None, :]
-                return buf.at[li, rows[:, None], offs].set(val.astype(buf.dtype))
-            starts = (li, 0, cache_offset) + (0,) * (buf.ndim - 3)
-            return jax.lax.dynamic_update_slice(buf, val.astype(buf.dtype)[None], starts)
+                # advanced indices (rows, offs) separated by the head slice →
+                # indexed result is [B, S, NKV, ...], matching val directly
+                return buf.at[li, rows[:, None], :, offs].set(val.astype(buf.dtype))
+            starts = (li, 0, 0, cache_offset) + (0,) * (buf.ndim - 4)
+            return jax.lax.dynamic_update_slice(
+                buf, jnp.moveaxis(val.astype(buf.dtype), 1, 2)[None], starts
+            )
 
         def body(carry, xs):
             h, c = carry
@@ -303,6 +351,17 @@ def forward_hidden(
                 c = dict(c, k=write_kv(c, li, "k", k), v=write_kv(c, li, "v", v))
             if use_flash:
                 attn = attend(q, k, v, causal=True, kv_start=kv_start, kv_end=kv_end)
+            elif use_decode_kernel:
+                attn = gqa_decode_attention(
+                    q[:, 0],
+                    c["k"],
+                    c["v"],
+                    li,
+                    f_start,
+                    f_end,
+                    c.get("ks"),
+                    c.get("vs"),
+                )[:, None]
             elif quantized_kv:
                 # scales folded onto scores/probs so the int8 K/V enter their
                 # dots as PURE converts (XLA fuses those; a dequant-then-mha
@@ -314,11 +373,12 @@ def forward_hidden(
                     jax.lax.dynamic_index_in_dim(c["v"], li, axis=0, keepdims=False),
                     jax.lax.dynamic_index_in_dim(c["vs"], li, axis=0, keepdims=False),
                     mask=mask,
+                    kv_heads_major=True,
                 )
             else:
                 kc = jax.lax.dynamic_index_in_dim(c["k"], li, axis=0, keepdims=False)
                 vc = jax.lax.dynamic_index_in_dim(c["v"], li, axis=0, keepdims=False)
-                attn = mha(q, kc, vc, mask=mask)
+                attn = mha(q, kc, vc, mask=mask, kv_heads_major=True)
             h = _layer_post_attn(cfg, h, lp, attn)
             return (h, c), None
 
@@ -502,6 +562,7 @@ def forward(
     cache: Optional[Dict[str, jnp.ndarray]] = None,
     cache_offset: int | jnp.ndarray = 0,
     prefill_padding: Optional[str] = None,
+    decode_frontier: bool = False,
     last_logit_only: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     """Full forward → (float32 logits [B, S, V], updated cache).
@@ -523,6 +584,7 @@ def forward(
         cache=cache,
         cache_offset=cache_offset,
         prefill_padding=prefill_padding,
+        decode_frontier=decode_frontier,
     )
     if last_logit_only:
         hidden = hidden[:, -1:]

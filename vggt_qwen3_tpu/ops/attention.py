@@ -83,29 +83,34 @@ def mha(
     *,
     mask: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
+    kv_heads_major: bool = False,
 ) -> jnp.ndarray:
     """Grouped-query attention.
 
     Args:
         q: [B, S, NH, D]
-        k, v: [B, T, NKV, D] with NH % NKV == 0
+        k, v: [B, T, NKV, D] with NH % NKV == 0 — or [B, NKV, T, D] when
+            ``kv_heads_major`` (the decode-cache layout; same numerics, the
+            einsum specs just read the head-major operands in place).
         mask: optional boolean, broadcastable to [B, NH, S, T]; True = attend.
         scale: defaults to D**-0.5.
     Returns:
         [B, S, NH, D] in q's dtype.
     """
     B, S, NH, D = q.shape
-    _, T, NKV, _ = k.shape
+    NKV = k.shape[1] if kv_heads_major else k.shape[2]
+    T = k.shape[2] if kv_heads_major else k.shape[1]
     assert NH % NKV == 0, (NH, NKV)
     group = NH // NKV
     if scale is None:
         scale = D**-0.5
+    k_spec = "bktd" if kv_heads_major else "btkd"
 
     # Grouped formulation: never materialize repeated K/V (a 4x GQA repeat
     # would quadruple decode KV-cache traffic — the dominant HBM cost).
     qg = q.reshape(B, S, NKV, group, D)
     scores = jnp.einsum(
-        "bskgd,btkd->bkgst", qg, k, preferred_element_type=jnp.float32
+        f"bskgd,{k_spec}->bkgst", qg, k, preferred_element_type=jnp.float32
     ) * scale
     if mask is not None:
         # scores layout is [B, NKV, group, S, T]; per-head masks ([B, NH, S, T])
@@ -119,7 +124,7 @@ def mha(
     probs = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
     probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
     probs = probs.astype(v.dtype)
-    out = jnp.einsum("bkgst,btkd->bskgd", probs, v)
+    out = jnp.einsum(f"bkgst,{k_spec}->bskgd", probs, v)
     return out.reshape(B, S, NH, D).astype(q.dtype)
 
 
@@ -132,6 +137,7 @@ def mha_quantized_kv(
     *,
     mask: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
+    kv_heads_major: bool = False,
 ) -> jnp.ndarray:
     """GQA over an int8 KV cache with the scales folded OUT of the KV operands.
 
@@ -146,23 +152,31 @@ def mha_quantized_kv(
 
     Args:
         q: [B, S, NH, D] bf16.
-        k8/v8: [B, T, NKV, D] int8.
-        ks/vs: [B, T, NKV] bf16 per-(token, head) scales.
+        k8/v8: [B, T, NKV, D] int8 — or [B, NKV, T, D] when ``kv_heads_major``
+            (the decode-cache layout).
+        ks/vs: [B, T, NKV] bf16 per-(token, head) scales ([B, NKV, T] when
+            ``kv_heads_major``).
         mask: optional boolean, broadcastable to [B, NH, S, T].
     Returns:
         [B, S, NH, D] in q's dtype.
     """
     B, S, NH, D = q.shape
-    _, T, NKV, _ = k8.shape
+    NKV = k8.shape[1] if kv_heads_major else k8.shape[2]
+    T = k8.shape[2] if kv_heads_major else k8.shape[1]
     group = NH // NKV
     if scale is None:
         scale = D**-0.5
+    k_spec = "bktd" if kv_heads_major else "btkd"
+
+    def scales_bkt(s):  # [B, NKV, T] f32, whichever layout arrived
+        s = s.astype(jnp.float32)
+        return s if kv_heads_major else s.transpose(0, 2, 1)
 
     qg = q.reshape(B, S, NKV, group, D)
     scores = jnp.einsum(
-        "bskgd,btkd->bkgst", qg, k8.astype(q.dtype), preferred_element_type=jnp.float32
+        f"bskgd,{k_spec}->bkgst", qg, k8.astype(q.dtype), preferred_element_type=jnp.float32
     )
-    scores = scores * (ks.astype(jnp.float32).transpose(0, 2, 1)[:, :, None, None, :] * scale)
+    scores = scores * (scales_bkt(ks)[:, :, None, None, :] * scale)
     if mask is not None:
         if mask.ndim == 4 and mask.shape[1] == NH and NH > 1:
             mask = mask.reshape(B, NKV, group, S, T)
@@ -171,6 +185,6 @@ def mha_quantized_kv(
         scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
     probs = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
     probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
-    probs = (probs * vs.astype(jnp.float32).transpose(0, 2, 1)[:, :, None, None, :]).astype(q.dtype)
-    out = jnp.einsum("bkgst,btkd->bskgd", probs, v8.astype(q.dtype))
+    probs = (probs * scales_bkt(vs)[:, :, None, None, :]).astype(q.dtype)
+    out = jnp.einsum(f"bkgst,{k_spec}->bskgd", probs, v8.astype(q.dtype))
     return out.reshape(B, S, NH, D).astype(q.dtype)
