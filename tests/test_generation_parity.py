@@ -207,3 +207,80 @@ def test_early_exit_per_row_budget(pair, mode):
     assert np.asarray(lens).tolist() == [5, 3]
     # slowest row's budget is 5: fused stops at step 5; chunked by chunk 3
     assert n <= (5 if mode == "fused" else 3)
+
+
+# ---------------------------------------------------------------------------
+# Left-padded TEXT prompt repetition penalty: the ONE documented HF deviation
+# (inference/engine.py seen-ids note). HF's rolling input_ids include pad ids
+# for left-padded text prompts, so HF penalizes the pad token; our penalty set
+# holds only valid prompt ids + generated tokens. The reference never
+# exercises padded text prompts (its text path is B=1, unpadded), so we keep
+# the cleaner pad-invariant semantics — and pin BOTH facts here so weights-day
+# EM debugging can't be ambushed by it (VERDICT r3 item 8; named in
+# docs/WEIGHTS_DAY_RUNBOOK.md "Speed modes and parity").
+# ---------------------------------------------------------------------------
+
+
+def test_b1_unpadded_text_prompt_matches_hf_exactly(pair):
+    """The exercised reference surface: batch-1, unpadded text prompt
+    (qa/arkit tokenize one sample without padding) — bit-exact vs HF."""
+    hf_model, cfg, params = pair
+    rng = np.random.default_rng(21)
+    ids = rng.integers(1, cfg.vocab_size, size=(1, 9))
+    ref = hf_generate(hf_model, max_new=12, rep=1.1, ids=torch.tensor(ids),
+                      mask=torch.ones(1, 9, dtype=torch.long))
+    gen_cfg = GenerationConfig(max_new_tokens=12, repetition_penalty=1.1,
+                               penalize_prompt=True, pad_token_id=0)
+    ours, _ = generate_text(params, cfg, gen_cfg, input_ids=jnp.asarray(ids))
+    assert ref.tolist() == np.asarray(ours).tolist()
+
+
+def test_left_padded_text_prompt_is_pad_invariant(pair):
+    """Our documented deviation, stated positively: left-padding a text
+    prompt changes NOTHING — tokens equal the unpadded run (and hence HF's
+    unpadded run). HF itself is not pad-invariant here (it penalizes the pad
+    id); anyone comparing against HF on padded text prompts must strip pads
+    first."""
+    hf_model, cfg, params = pair
+    rng = np.random.default_rng(22)
+    ids = rng.integers(1, cfg.vocab_size, size=(1, 7))
+    gen_cfg = GenerationConfig(max_new_tokens=12, repetition_penalty=1.1,
+                               penalize_prompt=True, pad_token_id=0)
+    ref, _ = generate_text(params, cfg, gen_cfg, input_ids=jnp.asarray(ids))
+
+    P = 4
+    padded = np.concatenate([np.zeros((1, P), ids.dtype), ids], axis=1)
+    mask = np.concatenate([np.zeros((1, P), np.int64), np.ones((1, 7), np.int64)], axis=1)
+    ours, _ = generate_text(
+        params, cfg, gen_cfg,
+        input_ids=jnp.asarray(padded), attention_mask=jnp.asarray(mask),
+    )
+    assert np.asarray(ours).tolist() == np.asarray(ref).tolist()
+    # and the unpadded run itself is HF-exact (ties the chain to HF)
+    hf_ref = hf_generate(hf_model, max_new=12, rep=1.1, ids=torch.tensor(ids),
+                         mask=torch.ones(1, 7, dtype=torch.long))
+    assert hf_ref.tolist() == np.asarray(ref).tolist()
+
+
+def test_left_pad_penalty_divergence_is_exactly_the_pad_column():
+    """Processor-level pin of the deviation: on a left-padded text prompt HF
+    penalizes the pad id's logit; ours doesn't. The divergence is EXACTLY
+    logit column pad_id — everything else matches to 1e-6."""
+    from transformers.generation.logits_process import RepetitionPenaltyLogitsProcessor
+    from vggt_qwen3_tpu.ops.sampling import apply_repetition_penalty
+
+    V, pad = 32, 0
+    rng = np.random.default_rng(23)
+    logits = rng.normal(size=(1, V)).astype(np.float32)
+    real = [5, 7, 7]
+    hf_in = torch.tensor([[pad, pad] + real])
+    ref = RepetitionPenaltyLogitsProcessor(1.1)(hf_in, torch.tensor(logits)).numpy()
+
+    buf = np.zeros((1, 8), np.int32)
+    buf[0, : len(real)] = real
+    ours = np.asarray(apply_repetition_penalty(
+        jnp.asarray(logits), jnp.asarray(buf), jnp.asarray([len(real)]), 1.1
+    ))
+    assert not np.allclose(ours[0, pad], ref[0, pad])  # HF penalized the pad id
+    keep = np.arange(V) != pad
+    np.testing.assert_allclose(ours[0, keep], ref[0, keep], atol=1e-6)
