@@ -111,7 +111,7 @@ def mock_aggregator(cfg: VLMConfig, images: jnp.ndarray) -> Tuple[list, int]:
 
 def encode_images(
     params: Params, cfg: VLMConfig, images: jnp.ndarray, *, rng: Optional[jax.Array] = None,
-    act_constraint=None,
+    act_constraint=None, ring_mesh=None, ring_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """[B, V, 3, H, W] in [0,1] → [B, num_vis_tokens, text_hidden].
 
@@ -119,12 +119,18 @@ def encode_images(
     it in ``stop_gradient`` (reference uses ``@torch.no_grad`` —
     ``vggt_qwen3_vlm.py:128``). ``act_constraint`` propagates the batch
     sharding through the projector (see :func:`perceiver.apply`).
+    ``ring_mesh``/``ring_axis`` shard the VGGT global (cross-view) attention
+    sequence over that mesh axis as ring attention — the >16-view scale-out
+    path (SURVEY §5.7); V·T must be divisible by the axis size.
     """
     B = images.shape[0]
     if cfg.vision_backbone == "mock":
         tokens_list, _ = mock_aggregator(cfg, images)
     else:
-        tokens_list, _ = vggt.aggregator(params["vision"], cfg.vision, images)
+        tokens_list, _ = vggt.aggregator(
+            params["vision"], cfg.vision, images,
+            ring_mesh=ring_mesh, ring_axis=ring_axis,
+        )
     agg = tokens_list[-1]  # [B, S, T, D]
     agg = agg.reshape(B, -1, agg.shape[-1])[:, : cfg.num_vis_tokens, :]
     if cfg.freeze_vision:
@@ -299,6 +305,8 @@ def train_forward(
     rng: Optional[jax.Array] = None,
     act_constraint=None,
     pipeline=None,
+    ring_mesh=None,
+    ring_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Training loss, reference semantics (``vggt_qwen3_vlm.py:179-201``):
     geom tokens (when present) are concatenated **before** visual tokens and
@@ -315,13 +323,20 @@ def train_forward(
 
     ``pipeline`` (optional ``parallel.pipeline.PipelinePlan``): runs the text
     decoder stack as a GPipe pipeline over the mesh's ``pp`` axis.
+
+    ``ring_mesh``/``ring_axis``: run VGGT global attention as ring attention
+    with the cross-view sequence sharded over that mesh axis (the >16-view
+    training path; ``--ring`` in ``train/sft.py``).
     """
     constrain = act_constraint or (lambda x: x)
     # constrain BOTH the concat inputs and its output: the concat's backward
     # splits the features cotangent, and the split outputs (the vis/geom
     # cotangents) each need their own pinned sharding or the partitioner
     # reshards them to the projector weights' TP layout via replication
-    vis = constrain(encode_images(params, cfg, images, rng=rng, act_constraint=act_constraint))
+    vis = constrain(encode_images(
+        params, cfg, images, rng=rng, act_constraint=act_constraint,
+        ring_mesh=ring_mesh, ring_axis=ring_axis,
+    ))
     geom_feats = encode_geom(params, cfg, geom_token)
     if geom_feats is None:
         features = vis

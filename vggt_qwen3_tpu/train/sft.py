@@ -53,6 +53,12 @@ def parse_args() -> argparse.Namespace:
         "--pp_microbatches", type=int, default=None,
         help="GPipe microbatches per step (default 2·pp); batch must divide by it",
     )
+    p.add_argument(
+        "--ring", nargs="?", const="fsdp", default=None, metavar="AXIS",
+        help="shard VGGT global attention as ring attention over this mesh "
+        "axis (default fsdp when given bare) — the >16-view scale-out path; "
+        "views·tokens must divide by the axis extent",
+    )
     p.add_argument("--mock_vision", action="store_true", help="zero-token vision backend")
     p.add_argument("--tiny", action="store_true", help="tiny model dims (smoke tests)")
     p.add_argument("--resume", action="store_true", help="resume from latest step_<n>/")
@@ -266,7 +272,8 @@ def main() -> None:
         has_geom = batch["geom_token"] is not None
         if has_geom not in step_fns:
             step_fns[has_geom] = trainer.make_train_step(
-                stage, tx, image_token_id, has_geom=has_geom, state_sharding=shardings
+                stage, tx, image_token_id, has_geom=has_geom,
+                state_sharding=shardings, ring_axis=args.ring,
             )
         device_batch = to_device(
             {k: v for k, v in batch.items() if k != "geom_token" and v is not None}

@@ -210,6 +210,7 @@ def make_train_step(
     *,
     has_geom: bool,
     state_sharding: Optional[TrainState] = None,
+    ring_axis: Optional[str] = None,
 ):
     """Jitted (state, batch, rng) → (state, metrics). Donates the state.
 
@@ -217,6 +218,10 @@ def make_train_step(
     in/out shardings so the compiler can't drift them between calls — without
     it the second invocation pays a full recompile when propagated output
     shardings differ from the registry's.
+
+    ``ring_axis`` (needs ``state_sharding``): run VGGT global attention as
+    ring attention with the cross-view sequence sharded over that mesh axis
+    (``--ring`` in the sft CLI; SURVEY §5.7 >16-view scale-out).
     """
     mcfg: VLMConfig = stage.model
 
@@ -226,6 +231,9 @@ def make_train_step(
     # splice/logits transpose ops.
     act_constraint = None
     pipeline = None
+    ring_mesh = None
+    if ring_axis is not None and state_sharding is None:
+        raise ValueError("ring_axis requires state_sharding (a mesh to ring over)")
     if state_sharding is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -234,6 +242,13 @@ def make_train_step(
         def act_constraint(x):
             spec = P(("dp", "fsdp"), *([None] * (x.ndim - 1)))
             return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+        if ring_axis is not None:
+            if dict(mesh.shape).get(ring_axis, 1) < 2:
+                raise ValueError(
+                    f"ring axis {ring_axis!r} has extent < 2 on mesh {dict(mesh.shape)}"
+                )
+            ring_mesh = mesh
 
         pp = dict(mesh.shape).get("pp", 1)
         if pp > 1:
@@ -258,6 +273,8 @@ def make_train_step(
                 rng=rng,
                 act_constraint=act_constraint,
                 pipeline=pipeline,
+                ring_mesh=ring_mesh,
+                ring_axis=ring_axis if ring_mesh is not None else None,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
