@@ -628,9 +628,14 @@ def serve_mode() -> None:
         max_new_tokens=new_tokens, eos_token_id=None, pad_token_id=0,
         kv_dtype=None if tiny else "int8",
     )
+    # BENCH_SPEC_GUARD=0 measures the raw zero-acceptance bracket (guard
+    # off); default keeps the production auto-fallback so the free-text
+    # regression can't ship (tests/test_slot_engine.py spec-guard tests)
+    guard_gain = (0.0 if os.environ.get("BENCH_SPEC_GUARD") == "0" else 1.35)
     eng = SlotEngine(params, cfg, gen_cfg, num_slots=slots,
                      max_len=prompt_len + new_tokens, decode_chunk=4,
-                     speculative=spec, constraint=constraint)
+                     speculative=spec, constraint=constraint,
+                     spec_min_gain=guard_gain)
 
     rng = np.random.default_rng(0)
     prompts = []
@@ -671,7 +676,18 @@ def serve_mode() -> None:
         f"serve [{label}]: {n_req} reqs × {new_tokens} "
         f"tok over {slots} slots in {dt:.2f}s "
         f"→ {rps:.2f} req/s, {eng.stats.tokens/dt:.0f} served tok/s, "
-        f"{eng.stats.chunks} chunks, {eng.stats.admitted_mid_decode} mid-decode admissions",
+        f"{eng.stats.chunks} chunks, {eng.stats.admitted_mid_decode} mid-decode admissions"
+        + (
+            f"; spec blocks {eng.stats.spec_blocks}, accepted "
+            f"{eng.stats.spec_accepted}"
+            + (
+                f", guard tripped at chunk {eng.stats.spec_disabled_at}"
+                if eng.stats.spec_disabled_at is not None
+                else ""
+            )
+            if spec
+            else ""
+        ),
         file=sys.stderr, flush=True,
     )
     # north star <200 ms/query ⇒ 5 qps reference point

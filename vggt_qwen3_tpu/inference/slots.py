@@ -417,7 +417,10 @@ def _spec_chunk(params, state, cfg: Qwen3Config, gen_cfg: GenerationConfig,
     )
     snap = jnp.concatenate(
         [done.astype(jnp.int32)[:, None], n_gen[:, None], out], axis=1)
-    return state, snap
+    # per-slot accepted counts (incl. tok0; 0 = slot idle this block) — the
+    # host's acceptance guard reads these with the LAGGED snapshot fetch, so
+    # they never add a blocking round-trip
+    return state, snap, a
 
 
 # ---------------------------------------------------------------------------
@@ -443,6 +446,9 @@ class SlotStats:
     admitted_mid_decode: int = 0
     tokens: int = 0
     admission_log: List[Tuple[int, int]] = field(default_factory=list)  # (chunk_idx, slot)
+    spec_blocks: int = 0          # speculative verify blocks executed
+    spec_accepted: int = 0        # tokens emitted by those blocks (incl. tok0)
+    spec_disabled_at: Optional[int] = None  # chunk idx the guard tripped, if any
 
 
 class SlotEngine:
@@ -457,7 +463,9 @@ class SlotEngine:
     def __init__(self, params, cfg: Qwen3Config, gen_cfg: GenerationConfig, *,
                  num_slots: int, max_len: int, decode_chunk: int = 4,
                  speculative: bool = False, draft_k: int = 6,
-                 ngram: int = 3, constraint=None) -> None:
+                 ngram: int = 3, constraint=None,
+                 spec_min_gain: float = 1.35,
+                 spec_guard_window: int = 8) -> None:
         self.params = params
         self.cfg = cfg
         self.gen_cfg = gen_cfg
@@ -473,6 +481,17 @@ class SlotEngine:
         self.speculative = speculative
         self.draft_k = draft_k
         self.ngram = ngram
+        # Acceptance guard: a verify block (one [B, k+1] forward) only pays
+        # for itself when active slots average > ~1 emitted token per block;
+        # measured worst case is 12.3 vs 34.2 req/s on zero-acceptance free
+        # text (BASELINE.md). When the rolling mean gain over
+        # ``spec_guard_window`` blocks drops under ``spec_min_gain``, the
+        # engine auto-falls back to classic chunked decode (token semantics
+        # identical — only the schedule changes). ``spec_min_gain=0``
+        # disables the guard.
+        self.spec_min_gain = spec_min_gain
+        self.spec_guard_window = spec_guard_window
+        self._spec_gain_window: List[float] = []
         # engine-wide schema FSM ([num_states, vocab] int32 — see
         # inference/constrained.py); every request decodes under it
         self.constraint = None if constraint is None else jnp.asarray(constraint)
@@ -636,8 +655,9 @@ class SlotEngine:
         with self._lock:
             self._admit_pending()
             if self._any_active():
+                accepted = None
                 if self.speculative:
-                    self.state, snap = _spec_chunk(
+                    self.state, snap, accepted = _spec_chunk(
                         self.params, self.state, self.cfg, self.gen_cfg,
                         self.draft_k, self.ngram, self.constraint,
                     )
@@ -650,15 +670,50 @@ class SlotEngine:
                 self.stats.chunks += 1
                 # pipeline: examine the PREVIOUS chunk's snapshot while this
                 # one computes (1-chunk delivery lag, ~RTT hidden per chunk)
-                prev, self._pending_snap = self._pending_snap, (self._chunk_idx, snap)
+                prev, self._pending_snap = (
+                    self._pending_snap, (self._chunk_idx, snap, accepted)
+                )
                 if prev is not None:
-                    self._deliver_from(*prev)
+                    self._deliver_from(*prev[:2])
+                    self._update_spec_guard(prev[2])
                 return True
             if self._pending_snap is not None:  # drain the trailing snapshot
                 prev, self._pending_snap = self._pending_snap, None
-                self._deliver_from(*prev)
+                self._deliver_from(*prev[:2])
+                self._update_spec_guard(prev[2])
                 return True
             return not self.queue.empty()
+
+    def _update_spec_guard(self, accepted) -> None:
+        """Feed one lagged verify-block acceptance vector into the rolling
+        guard; auto-disable speculative scheduling when the mean per-active-
+        slot gain under-runs ``spec_min_gain`` over the window."""
+        if accepted is None or not self.spec_min_gain:
+            return
+        a = np.asarray(accepted)
+        active = a > 0
+        if not active.any():
+            return
+        gain = float(a[active].mean())
+        self.stats.spec_blocks += 1
+        self.stats.spec_accepted += int(a.sum())
+        w = self._spec_gain_window
+        w.append(gain)
+        if len(w) > self.spec_guard_window:
+            del w[0]
+        if (
+            self.speculative
+            and len(w) == self.spec_guard_window
+            and sum(w) / len(w) < self.spec_min_gain
+        ):
+            self.speculative = False
+            self.stats.spec_disabled_at = self._chunk_idx
+            print(
+                f"slots: speculative auto-disabled at chunk {self._chunk_idx} "
+                f"(rolling gain {sum(w) / len(w):.2f} tok/block < "
+                f"{self.spec_min_gain}) — falling back to classic decode",
+                flush=True,
+            )
 
     def run_until_idle(self) -> None:
         while self.step_once():
