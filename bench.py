@@ -33,6 +33,7 @@ import subprocess
 import sys
 import threading
 import time
+from functools import partial
 
 import numpy as np
 
@@ -385,20 +386,35 @@ def qa_mode() -> None:
 
 
 def train_mode() -> None:
-    """BENCH_MODE=train: stage-1 recipe training throughput (VERDICT r2 item 5).
+    """BENCH_MODE=train: stage-1 recipe training throughput, MEASURED
+    end-to-end (VERDICT r3 item 3 — no analytic pieces).
 
-    Measures the per-microbatch fwd+bwd (loss + grads for the trainable
-    params) at the exact shipped stage-1 shape — ``configs/stage1_3d.yaml``:
-    B=6/device, 8 views @ 448², max_length 512, LoRA(r16 qkvo) + projector +
-    geom trainable, VGGT frozen — and projects the full accum-32 optimizer
-    step. The AdamW update itself is excluded from the measured region: its
-    optimizer state (~9.6 GB f32 moments for the 1.2B-param projector) plus
-    weights exceeds one 16 GB chip — that is exactly the ZeRO-3/fsdp=8
-    motivation — so the update cost is bounded analytically (weight+moment
-    streaming) and stated. Knobs: BENCH_TRAIN_BATCH (default 6),
-    BENCH_TRAIN_VIEWS (8), BENCH_TINY=1 (CPU smoke on the toy shapes).
+    The timed region is a REAL grad-accum cycle as ONE jitted program:
+    ``lax.scan`` over ``BENCH_TRAIN_CYCLE`` microbatches (default the
+    recipe's full accum count), each computing loss+grads for the trainable
+    set and feeding ``optax.MultiSteps`` — the final microbatch applies the
+    actual optimizer update on device, inside the timing. Shapes are the
+    shipped stage-1 recipe (``configs/stage1_3d.yaml``): B=6/device, 8 views
+    @ 448², max_length 512, LoRA(r16 qkvo) + projector + geom trainable,
+    VGGT frozen.
 
-    Prints step_time_s for the effective optimizer step; stderr carries the
+    What makes the update fit one 16 GB chip (each is the production
+    single-chip recipe, not a bench trick):
+    - frozen VGGT tower quantized (``vlm.quantize_vision``, default w8a8 —
+      stop-gradiented, so pure inference-side compression; int8×int8 dots
+      run the compute-bound vision fwd at 2× the bf16 MXU rate),
+    - frozen Qwen3 base quantized W8 (the QLoRA recipe: int8 frozen base +
+      bf16 LoRA/projector; backward differentiates activations THROUGH the
+      dequantized matmuls, weight grads are never formed),
+    - 8-bit block-wise Adam moments (``train/adam8bit.py``, the
+      bitsandbytes technique — 2.5 GB instead of 9.8 GB f32 for the 1.2B
+      trainable params).
+    Knobs: BENCH_TRAIN_BATCH (6), BENCH_TRAIN_VIEWS (8), BENCH_TRAIN_CYCLE
+    (recipe accum), BENCH_TRAIN_VQUANT (w8a8|w8|none),
+    BENCH_TRAIN_TEXTQ (w8|none), BENCH_TRAIN_OPT (adam8bit|adamw),
+    BENCH_TINY=1 (CPU smoke on toy shapes).
+
+    Prints step_time_s for the measured optimizer step; stderr carries the
     tokens/s and MFU breakdown.
     """
     import jax
@@ -443,15 +459,41 @@ def train_mode() -> None:
             )
         return p
 
+    if tiny:
+        # tiny smoke runs f32; W8's bf16 scales would mix dtypes mid-scan
+        vq = tq = "none"
+    else:
+        vq = os.environ.get("BENCH_TRAIN_VQUANT", "w8a8")
+        tq = os.environ.get("BENCH_TRAIN_TEXTQ", "w8")
+
+    def init_quantized(key):
+        p = init_all(key)
+        if vq != "none":
+            p = vlm.quantize_vision(p, mode=vq, donate=False)
+        if tq != "none":
+            from vggt_qwen3_tpu.models import qwen3 as qwen3_mod
+
+            # QLoRA recipe: frozen base W8, LoRA/projector bf16. LoRA
+            # adapters re-attach after quantization (quantize_params walks
+            # the stacked projections only).
+            lora = p["text"]["layers"].get("lora")
+            p["text"] = qwen3_mod.quantize_params(p["text"], mode=tq, donate=False)
+            if lora is not None:
+                p["text"]["layers"] = dict(p["text"]["layers"], lora=lora)
+        return p
+
     t0 = time.time()
     if _cheap_init_on() and not tiny:
         # cheap fill (norms=1 keeps the loss finite); values don't affect
         # step time and the isfinite assert below still guards the numerics
-        params = _cheap_params(lambda: init_all(jax.random.PRNGKey(0)))
+        params = _cheap_params(lambda: init_quantized(jax.random.PRNGKey(0)))
     else:
-        params = jax.jit(init_all)(jax.random.PRNGKey(0))
+        params = jax.jit(init_quantized)(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
-    print(f"init: {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+    print(
+        f"init: {time.time()-t0:.1f}s (vision {vq}, frozen text {tq})",
+        file=sys.stderr, flush=True,
+    )
 
     # trainable = LoRA adapters + projector + geom head; everything else
     # closes over as frozen (grads never allocated for the 4B base / VGGT)
@@ -522,7 +564,7 @@ def train_mode() -> None:
     # buffers that poison in-process retries) and project per-sample.
     B = int(os.environ.get("_BENCH_TRAIN_B_ACTUAL", str(B_target)))
     try:
-        micro_s = measure(B)
+        micro_raw = measure(B)
     except Exception as e:  # noqa: BLE001
         is_oom = "RESOURCE_EXHAUSTED" in str(e) or "Ran out of memory" in str(e)
         if not is_oom or B <= 1:
@@ -531,13 +573,91 @@ def train_mode() -> None:
         os.environ["_BENCH_TRAIN_B_ACTUAL"] = str(B - 1)
         os.environ["BENCH_RETRIED"] = "0"  # OOM fallback ≠ transient retry budget
         os.execv(sys.executable, [sys.executable] + sys.argv)
-    micro_s = micro_s * (B_target / B)  # per-sample projection to the recipe B
 
-    # analytic bound for the excluded AdamW update (runs once per accum steps):
-    # read+write bf16 trainable weights & grads + f32 mu/nu ≈ 16 bytes/param.
-    n_train = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(trainable))
-    hbm_gbs = 500e9  # measured effective HBM bandwidth on this chip
-    update_s = 16 * n_train / hbm_gbs
+    # ---- the MEASURED grad-accum cycle: k microbatches + the real optimizer
+    # update, one jitted program (lax.scan), update inside the timing -------
+    import optax
+
+    k_cycle = int(os.environ.get("BENCH_TRAIN_CYCLE", str(accum)))
+    k_cycle = max(1, min(k_cycle, accum))
+    opt_name = os.environ.get("BENCH_TRAIN_OPT", "adam8bit")
+    if opt_name == "adam8bit":
+        from vggt_qwen3_tpu.train.adam8bit import adamw8bit
+
+        inner_tx = adamw8bit(stage.train.proj_lr, weight_decay=stage.train.weight_decay)
+    else:
+        inner_tx = optax.adamw(stage.train.proj_lr, weight_decay=stage.train.weight_decay)
+    tx = optax.MultiSteps(inner_tx, every_k_schedule=k_cycle)
+    opt_state = jax.jit(tx.init)(trainable)
+    jax.block_until_ready(opt_state)
+
+    rngnp = np.random.default_rng(0)
+    c_images = jnp.asarray(rngnp.uniform(0, 1, (B, V, 3, S, S)), mcfg.dtype)
+    c_ids = rngnp.integers(1, mcfg.text.vocab_size, (B, T))
+    c_ids[:, 4] = img_id
+    c_input_ids = jnp.asarray(c_ids)
+    c_mask = jnp.ones((B, T), jnp.int32)
+    c_labels = jnp.asarray(np.where(np.arange(T)[None] < 8, -100, c_ids))
+    c_geom = {
+        "R": jnp.asarray(rngnp.normal(size=(B, V, 9)), jnp.float32),
+        "t": jnp.asarray(rngnp.normal(size=(B, V, 3)), jnp.float32),
+        "K": jnp.asarray(rngnp.normal(size=(B, V, 9)), jnp.float32),
+        "depth_hist": jnp.asarray(rngnp.normal(size=(B, V, 16)), jnp.float32),
+        "mask": jnp.ones((B,), bool),
+    }
+
+    def cycle_loss(tr, rng):
+        p = dict(frozen)
+        p["projector"] = tr["projector"]
+        p["geom"] = tr["geom"]
+        if "lora" in tr:
+            text = dict(p["text"])
+            text["layers"] = dict(text["layers"], lora=tr["lora"])
+            p["text"] = text
+        return vlm.train_forward(
+            p, mcfg, images=c_images, geom_token=c_geom, input_ids=c_input_ids,
+            attention_mask=c_mask, labels=c_labels, image_token_id=img_id, rng=rng,
+        )
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def accum_cycle(tr, opt_state, rng):
+        def micro(carry, i):
+            tr, opt_state = carry
+            loss, grads = jax.value_and_grad(cycle_loss)(tr, jax.random.fold_in(rng, i))
+            updates, opt_state = tx.update(grads, opt_state, tr)
+            tr = optax.apply_updates(tr, updates)
+            return (tr, opt_state), loss
+
+        (tr, opt_state), losses = jax.lax.scan(
+            micro, (tr, opt_state), jnp.arange(k_cycle)
+        )
+        return tr, opt_state, losses.mean()
+
+    t0 = time.time()
+    trainable, opt_state, mloss = accum_cycle(trainable, opt_state, jax.random.PRNGKey(9))
+    mloss = float(np.asarray(mloss))
+    print(
+        f"cycle compile+warmup ({k_cycle} micro + {opt_name} update): "
+        f"{time.time()-t0:.1f}s loss={mloss:.3f}",
+        file=sys.stderr, flush=True,
+    )
+    assert np.isfinite(mloss)
+    cycle_times = []
+    for i in range(2):
+        t0 = time.time()
+        trainable, opt_state, mloss = accum_cycle(
+            trainable, opt_state, jax.random.PRNGKey(10 + i)
+        )
+        np.asarray(mloss)  # host fetch forces execution on this backend
+        cycle_times.append(time.time() - t0)
+    cycle_s = min(cycle_times)
+    # measured residual of the update + accum bookkeeping beyond k raw micros
+    update_s = max(cycle_s - k_cycle * micro_raw, 0.0)
+    # recipe step at the measured batch: accum micros + the measured update
+    step_meas = accum / k_cycle * (cycle_s - update_s) + update_s
+    # per-sample projection to the recipe microbatch (update does not scale
+    # with B; only stated when B < recipe B)
+    micro_s = micro_raw * (B_target / B)
     step_s = accum * micro_s + update_s
 
     # tokens & MFU accounting (fwd 2PN, bwd adds ~4PN on trainable-path flops;
@@ -558,16 +678,24 @@ def train_mode() -> None:
     mfu = flops / micro_s / peak
     tok_s = accum * text_tokens / step_s
     print(
-        f"micro={micro_s*1000:.0f} ms (recipe B={B_target}, measured B={B}, V={V} {S}px T={T}) step={step_s:.1f}s "
-        f"(accum {accum} + update {update_s*1000:.0f} ms analytic) "
+        f"micro={micro_raw*1000:.0f} ms at B={B} "
+        f"({micro_s*1000:.0f} ms per-sample-scaled to recipe B={B_target}; "
+        f"V={V} {S}px T={T})\n"
+        f"MEASURED cycle ({k_cycle} micro + {opt_name} update in one program): "
+        f"{cycle_s:.2f}s → recipe step at B={B}: {step_meas:.1f}s "
+        f"(update residual {update_s*1000:.0f} ms, measured)\n"
+        f"recipe step at B={B_target} (per-sample projection): {step_s:.1f}s, "
         f"text tok/s={tok_s:.0f} MFU={mfu*100:.1f}% "
         f"30k steps ≈ {step_s*30000/3600:.1f} h/chip-equivalent; v5e-8 dp8 ≈ same "
         f"step time at 8× global batch",
         file=sys.stderr, flush=True,
     )
-    # reference budget: 30k steps in a 24h Slurm window → 2.88 s/step
-    _emit("stage1_train_step_s", round(step_s, 2), "s/step",
-          round((24 * 3600 / 30000) / step_s, 3))
+    # reference budget: 30k steps in a 24h Slurm window → 2.88 s/step.
+    # the emitted metric is the MEASURED step when the recipe microbatch fits
+    # (B == B_target), else the per-sample projection (labeled above)
+    emit_s = step_meas if B == B_target else step_s
+    _emit("stage1_train_step_s", round(emit_s, 2), "s/step",
+          round((24 * 3600 / 30000) / emit_s, 3))
 
 
 def serve_mode() -> None:

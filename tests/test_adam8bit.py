@@ -1,0 +1,117 @@
+"""Block-wise 8-bit Adam (train/adam8bit.py): memory shape, exactness of the
+storage round-trip at step scale, and trajectory quality vs exact AdamW."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from vggt_qwen3_tpu.train.adam8bit import (
+    BLOCK, Adam8bitState, adamw8bit, scale_by_adam8bit,
+)
+
+
+def _problem(seed=0, dim=700):  # deliberately not a BLOCK multiple
+    rng = np.random.default_rng(seed)
+    A = jnp.asarray(rng.standard_normal((dim, dim)) / np.sqrt(dim), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((dim,)), jnp.float32)
+    params = {
+        "w": jnp.asarray(rng.standard_normal((dim, dim)) * 0.02, jnp.float32),
+        "c": jnp.asarray(rng.standard_normal((dim,)) * 0.02, jnp.float32),
+    }
+
+    def loss(p):
+        r = A @ p["c"] + p["w"].sum(axis=1) - b
+        return (r * r).mean() + 1e-3 * (p["w"] ** 2).mean()
+
+    return params, jax.jit(jax.value_and_grad(loss))
+
+
+def test_moment_storage_is_int8_blocks():
+    params, grad_fn = _problem()
+    tx = scale_by_adam8bit()
+    state = tx.init(params)
+    assert isinstance(state, Adam8bitState)
+    def qleaves(tree):
+        return jax.tree.leaves(
+            tree, is_leaf=lambda x: isinstance(x, dict) and "q" in x
+        )
+
+    for leaf in qleaves(state.mu_q):
+        assert leaf["q"].dtype == jnp.int8
+        assert leaf["q"].shape[1] == BLOCK
+        assert leaf["s"].dtype == jnp.float32
+    # int8 moments ≈ n_params × 2 bytes (+ scales/64) vs 8 bytes f32
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    n_bytes = sum(
+        l["q"].size + l["s"].size * 4
+        for tree in (state.mu_q, state.nu_q)
+        for l in qleaves(tree)
+    )
+    assert n_bytes < 2.2 * n_params
+
+
+def test_trajectory_tracks_exact_adamw():
+    """50 steps on a quadratic: the 8-bit trajectory's loss must track exact
+    AdamW closely (blockwise absmax keeps relative moment error ~1/254)."""
+    params_q, grad_fn = _problem(1)
+    params_e = jax.tree.map(jnp.copy, params_q)
+    tx_q = adamw8bit(1e-2, weight_decay=1e-4)
+    tx_e = optax.adamw(1e-2, weight_decay=1e-4)
+    s_q, s_e = tx_q.init(params_q), tx_e.init(params_e)
+
+    @jax.jit
+    def step(params, state, tx_idx):
+        return params, state  # placeholder (jit per-tx below instead)
+
+    losses_q, losses_e = [], []
+    for _ in range(50):
+        lq, gq = grad_fn(params_q)
+        uq, s_q = tx_q.update(gq, s_q, params_q)
+        params_q = optax.apply_updates(params_q, uq)
+        le, ge = grad_fn(params_e)
+        ue, s_e = tx_e.update(ge, s_e, params_e)
+        params_e = optax.apply_updates(params_e, ue)
+        losses_q.append(float(lq))
+        losses_e.append(float(le))
+
+    # both optimize; final losses within 5% of the initial-loss scale
+    assert losses_q[-1] < losses_q[0] * 0.5
+    assert abs(losses_q[-1] - losses_e[-1]) < 0.05 * abs(losses_e[0])
+    # drift stays bounded through the run, measured against the problem's
+    # loss scale (late-run losses → 0 make pointwise relative error
+    # meaningless; mid-run transients re-converge — the mean is the gate)
+    scale = abs(losses_e[0])
+    drift = [abs(a - b) / scale for a, b in zip(losses_q, losses_e)]
+    assert max(drift) < 0.12
+    assert sum(drift) / len(drift) < 0.03
+
+
+def test_first_step_matches_exact_adam_bitwise_scale():
+    """Step 1 from zero moments: mu = (1-b1)·g, nu = (1-b2)·g² — the
+    quantize/dequantize round-trip error must stay at int8 resolution."""
+    params, grad_fn = _problem(2, dim=300)
+    _, g = grad_fn(params)
+    tx_q, tx_e = scale_by_adam8bit(), optax.scale_by_adam()
+    u_q, _ = tx_q.update(g, tx_q.init(params), params)
+    u_e, _ = tx_e.update(g, tx_e.init(params), params)
+    for a, b in zip(jax.tree.leaves(u_q), jax.tree.leaves(u_e)):
+        # Adam's first step is sign(g)-ish (±1); int8 blockwise keeps it
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0.04)
+
+
+def test_multisteps_composition():
+    """optax.MultiSteps(adamw8bit, k): accumulates k micro-grads then applies
+    one 8-bit update — the bench's timed grad-accum cycle shape."""
+    params, grad_fn = _problem(3, dim=300)
+    k = 3
+    tx = optax.MultiSteps(adamw8bit(1e-2), every_k_schedule=k)
+    state = tx.init(params)
+    l0, _ = grad_fn(params)
+    for i in range(2 * k):
+        _, g = grad_fn(params)
+        u, state = tx.update(g, state, params)
+        params = optax.apply_updates(params, u)
+    l1, _ = grad_fn(params)
+    assert float(l1) < float(l0)
+    assert int(state.mini_step) == 0  # completed whole cycles

@@ -129,3 +129,56 @@ def test_view_dropout_keeps_shapes():
     pv = batch["pixel_values"][0]
     dup = sum(np.allclose(pv[i], pv[0]) for i in range(1, 4))
     assert dup >= 2
+
+
+def test_qlora_w8_frozen_base_trains_adapters():
+    """The QLoRA single-chip recipe (bench train mode): frozen base W8,
+    bf16/f32 LoRA adapters. Backward must flow THROUGH the dequantized int8
+    matmuls into the adapters — finite, nonzero grads, a step that lowers
+    the loss, and a base forward that stays close to bf16."""
+    import optax
+
+    # all-bf16 like the bench: quantized-base activations are bf16, so the
+    # adapters must be too (a mixed f32 adapter changes the residual dtype
+    # mid-scan, which lax.scan rejects)
+    params = qwen3.init_params(jax.random.PRNGKey(0), TEXT, dtype="bfloat16")
+    lcfg = LoRAConfig(enable=True, rank=4, alpha=8)
+    lparams = qwen3.add_lora(params, TEXT, lcfg, jax.random.PRNGKey(1))
+
+    # quantize the base, re-attach adapters (the bench's init_quantized path)
+    lora = lparams["layers"]["lora"]
+    qp = qwen3.quantize_params(dict(lparams), donate=False)
+    qp["layers"] = dict(qp["layers"], lora=lora)
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 256, (2, 12)))
+    labels = ids
+
+    def loss_fn(adapters):
+        p = dict(qp)
+        p["layers"] = dict(p["layers"], lora=adapters)
+        logits, _ = qwen3.forward(p, TEXT, input_ids=ids)
+        logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+        return -jnp.take_along_axis(logp, labels[:, 1:, None], axis=-1).mean()
+
+    l0, grads = jax.jit(jax.value_and_grad(loss_fn))(lora)
+    gnorm = float(optax.global_norm(grads))
+    assert np.isfinite(float(l0)) and np.isfinite(gnorm) and gnorm > 0
+
+    tx = optax.adam(1e-2)
+    state = tx.init(lora)
+    adapters = lora
+    for i in range(5):
+        _, g = jax.jit(jax.value_and_grad(loss_fn))(adapters)
+        u, state = tx.update(g, state, adapters)
+        adapters = optax.apply_updates(adapters, u)
+    l1 = float(loss_fn(adapters))
+    assert l1 < float(l0)  # the adapters actually learn through the W8 base
+
+    # W8 base forward stays near the bf16 base (near-lossless weight quant;
+    # adapters are zero-init B=0 so the quantized forward IS the base)
+    base_bf16, _ = qwen3.forward(params, TEXT, input_ids=ids)
+    base_w8, _ = qwen3.forward(qp, TEXT, input_ids=ids)
+    drift = np.abs(np.asarray(base_w8, np.float32) - np.asarray(base_bf16, np.float32))
+    scale = np.abs(np.asarray(base_bf16, np.float32)).max()
+    assert drift.max() < 0.08 * max(scale, 1.0)
