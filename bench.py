@@ -804,7 +804,9 @@ def serve_mode() -> None:
         f"serve [{label}]: {n_req} reqs × {new_tokens} "
         f"tok over {slots} slots in {dt:.2f}s "
         f"→ {rps:.2f} req/s, {eng.stats.tokens/dt:.0f} served tok/s, "
-        f"{eng.stats.chunks} chunks, {eng.stats.admitted_mid_decode} mid-decode admissions"
+        f"{eng.stats.chunks} chunks, {eng.stats.admitted_mid_decode} mid-decode admissions, "
+        f"KV occupancy {eng.stats.kv_utilization*100:.0f}% "
+        f"(reserved {slots}×{eng._row_len} rows)"
         + (
             f"; spec blocks {eng.stats.spec_blocks}, accepted "
             f"{eng.stats.spec_accepted}"

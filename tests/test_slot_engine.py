@@ -448,3 +448,22 @@ def test_spec_guard_keeps_speculative_on_draftable_workload(setup):
     assert eng.speculative
     assert eng.stats.spec_accepted > eng.stats.spec_blocks  # drafts accepted
     assert toks.tolist() == ref_toks[:n].tolist()
+
+
+def test_kv_occupancy_measurement(setup):
+    """The paged-KV deviation measurement (BASELINE.md "why slots, not
+    pages"): the engine integrates live-vs-reserved KV tokens per chunk; the
+    numbers must be sane (0 < occupancy ≤ 1) and reflect the workload."""
+    cfg, params = setup
+    gen_cfg = GenerationConfig(max_new_tokens=8, eos_token_id=None, pad_token_id=0)
+    eng = SlotEngine(params, cfg, gen_cfg, num_slots=4, max_len=32, decode_chunk=2)
+    for seed in range(4):
+        ids, mask = _prompt(cfg, 40 + seed, S=8, bucket=16)
+        emb = np.asarray(qwen3.embed_tokens(params, jnp.asarray(ids)))
+        eng.submit_embeds(emb, mask, max_new_tokens=4 + seed)
+    eng.run_until_idle()
+    u = eng.stats.kv_utilization
+    assert 0.0 < u <= 1.0
+    assert eng.stats.kv_reserved_token_chunks > 0
+    # 4 slots × 32-row reserve vs ~8-12 live tokens each → well under half
+    assert u < 0.6

@@ -449,6 +449,16 @@ class SlotStats:
     spec_blocks: int = 0          # speculative verify blocks executed
     spec_accepted: int = 0        # tokens emitted by those blocks (incl. tok0)
     spec_disabled_at: Optional[int] = None  # chunk idx the guard tripped, if any
+    # KV-cache occupancy, integrated over chunks (the paged-KV deviation
+    # measurement — BASELINE.md "why slots, not pages"): per observed chunk,
+    # used = live tokens (valid prompt + generated so far) over every
+    # occupied slot; reserved = num_slots × row_len.
+    kv_used_token_chunks: int = 0
+    kv_reserved_token_chunks: int = 0
+
+    @property
+    def kv_utilization(self) -> float:
+        return self.kv_used_token_chunks / max(self.kv_reserved_token_chunks, 1)
 
 
 class SlotEngine:
@@ -510,6 +520,9 @@ class SlotEngine:
         # lagged snapshot older than this carries the previous occupant's
         # done flag and must not deliver the new future
         self._slot_admit_boundary = [0] * num_slots
+        # live prompt tokens per occupant (valid prompt + prefix), host-side
+        # bookkeeping for the KV-occupancy measurement
+        self._slot_prompt_tokens = [0] * num_slots
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._lock = threading.Lock()
@@ -618,6 +631,9 @@ class SlotEngine:
                 )
             self.slot_futures[slot] = req.future
             self._slot_admit_boundary[slot] = self._chunk_idx + 1
+            self._slot_prompt_tokens[slot] = P + int(
+                np.asarray(req.attention_mask).sum()
+            )
             self.stats.requests += 1
             # diagnostics only — cap so a long-running daemon can't leak
             if len(self.stats.admission_log) < 4096:
@@ -635,6 +651,17 @@ class SlotEngine:
         snap = np.asarray(snap)  # blocks only until ITS chunk finished; the
         # next chunk is already dispatched, so the fetch overlaps its compute
         done, n_gen, out = snap[:, 0] > 0, snap[:, 1], snap[:, 2:]
+        # KV-occupancy sample at this chunk (paged-KV deviation measurement):
+        # live tokens = prompt + generated for every occupied slot; occupancy
+        # of the left-pad bucket slack and the unreached budget tail is the
+        # waste a paged cache would reclaim
+        used = sum(
+            self._slot_prompt_tokens[i] + int(n_gen[i])
+            for i, f in enumerate(self.slot_futures)
+            if f is not None and self._slot_admit_boundary[i] <= snap_idx
+        )
+        self.stats.kv_used_token_chunks += used
+        self.stats.kv_reserved_token_chunks += self.num_slots * self._row_len
         for i, fut in enumerate(self.slot_futures):
             if fut is None or not done[i] or self._slot_admit_boundary[i] > snap_idx:
                 continue
