@@ -126,3 +126,40 @@ def test_eligibility_gate():
     assert not decode_attention_eligible(1, 32, 8, 160, 128, jnp.int8)  # tiny cache
     assert decode_attention_eligible(368, 32, 8, 160, 128, jnp.bfloat16)
     assert not decode_attention_eligible(368, 32, 8, 152, 128, jnp.bfloat16)
+
+
+def test_engine_generate_token_exact_with_forced_kernel(monkeypatch):
+    """Engine-level dispatch gate: VGGT_DECODE_KERNEL=force routes the S=1
+    decode steps through the fused kernel (interpreter off-TPU) and the
+    generated tokens must equal the XLA path's, including left padding and
+    int8 KV."""
+    from vggt_qwen3_tpu.config import Qwen3Config
+    from vggt_qwen3_tpu.inference.engine import GenerationConfig, generate_text
+    from vggt_qwen3_tpu.models import qwen3
+
+    cfg = Qwen3Config(
+        vocab_size=256, hidden_size=512, num_layers=2, num_heads=4,
+        num_kv_heads=2, head_dim=128, intermediate_size=256, rope_theta=1e4,
+        tie_word_embeddings=True, dtype="float32",
+    )
+    params = qwen3.init_params(jax.random.PRNGKey(0), cfg, dtype="float32")
+    rng = np.random.default_rng(0)
+    # B·T = 160·32 ≥ 4096 and T = 16+16 = 32 tile-aligned → kernel-eligible
+    B_eng = 160
+    ids = rng.integers(1, 256, (B_eng, 16))
+    mask = np.ones_like(ids)
+    ids[:3, :5] = 0
+    mask[:3, :5] = 0  # left padding on a few rows
+    gen_cfg = GenerationConfig(max_new_tokens=16, pad_token_id=0, kv_dtype="int8")
+
+    monkeypatch.setenv("VGGT_DECODE_KERNEL", "0")
+    ref, _ = generate_text(
+        params, cfg, gen_cfg, input_ids=jnp.asarray(ids),
+        attention_mask=jnp.asarray(mask),
+    )
+    monkeypatch.setenv("VGGT_DECODE_KERNEL", "force")
+    got, _ = generate_text(
+        params, cfg, gen_cfg, input_ids=jnp.asarray(ids),
+        attention_mask=jnp.asarray(mask),
+    )
+    assert np.asarray(got).tolist() == np.asarray(ref).tolist()

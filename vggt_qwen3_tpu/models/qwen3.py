@@ -285,13 +285,16 @@ def forward_hidden(
         # TPU backend, eligible shapes (ops/decode_attention.py). The kernel
         # reads the WHOLE stacked cache with a scalar-prefetched layer index
         # so the scan never materializes per-layer slices for it.
+        # env: "1" (default) = on for TPU; "0" = off; "force" = on for any
+        # backend via the kernel interpreter (CPU engine-level tests)
+        _dk = os.environ.get("VGGT_DECODE_KERNEL", "1")
         use_decode_kernel = (
             decode_frontier
             and S == 1
             and attention_mask is not None
             and attention_mask.ndim == 2
-            and os.environ.get("VGGT_DECODE_KERNEL", "1") != "0"
-            and jax.default_backend() == "tpu"
+            and _dk != "0"
+            and (jax.default_backend() == "tpu" or _dk == "force")
         )
         if use_decode_kernel:
             from ..ops.decode_attention import (
@@ -361,6 +364,7 @@ def forward_hidden(
                     f_end,
                     c.get("ks"),
                     c.get("vs"),
+                    interpret=jax.default_backend() != "tpu",
                 )[:, None]
             elif quantized_kv:
                 # scales folded onto scores/probs so the int8 K/V enter their

@@ -56,6 +56,7 @@ def _decode_kernel(
     li_ref,  # [1] int32 scalar prefetch: layer index (consumed by index maps)
     start_ref,  # [B] int32 scalar prefetch: first valid kv slot per row
     end_ref,  # [B] int32 scalar prefetch: one past last valid kv slot per row
+    base_ref,  # [NH, 1] int32: (head // group)·T — see mask note below
     q_ref,  # [bb, NH, D]
     k_ref,  # [1, bb, NKVT, D] int8 | bf16 (layer-indexed block of the cache)
     v_ref,  # [1, bb, NKVT, D]
@@ -71,10 +72,13 @@ def _decode_kernel(
     bb, NH, D = q_ref.shape
     NKVT = k_ref.shape[2]
 
+    # Division-free block-diagonal frontier mask: on query-head h's own kv
+    # block, the within-block slot is d = col − (h // group)·T, and the
+    # frontier bounds 0 ≤ start ≤ d < end ≤ T reject every off-diagonal
+    # column by themselves (d < 0 or d ≥ T there). base arrives as a tiny
+    # host-computed operand — no vector int div/mod for Mosaic to legalize.
     col = jax.lax.broadcasted_iota(jnp.int32, (NH, NKVT), 1)
-    col_kv, col_t = col // T, col % T
-    row_kv = jax.lax.broadcasted_iota(jnp.int32, (NH, NKVT), 0) // group
-    diag = col_kv == row_kv
+    d_slot = col - base_ref[:, :]  # [NH, NKVT]
 
     i = pl.program_id(0)
     for r in range(bb):  # static unroll; each row = two 2-D dots
@@ -90,7 +94,7 @@ def _decode_kernel(
             s = s * (ks_ref[0, r : r + 1].astype(jnp.float32) * scale)
         else:
             s = s * scale
-        valid = diag & (col_t >= start_ref[row]) & (col_t < end_ref[row])
+        valid = (d_slot >= start_ref[row]) & (d_slot < end_ref[row])
         s = jnp.where(valid, s, NEG_INF)
 
         m = jnp.max(s, axis=-1, keepdims=True)
@@ -179,6 +183,10 @@ def gqa_decode_attention(
     bb = block_b or _pick_block_b(B, NKVT, D, kf.dtype.itemsize)
     grid = (B // bb,)
 
+    # the division-free in-kernel mask relies on 0 ≤ start ≤ end ≤ T
+    kv_start = jnp.clip(kv_start.astype(jnp.int32), 0, T)
+    kv_end = jnp.clip(kv_end.astype(jnp.int32), 0, T)
+
     li_arr = jnp.asarray(li, jnp.int32).reshape(1)
     kernel = functools.partial(_decode_kernel, scale=scale, T=T, group=group)
     if ksf is None:
@@ -190,12 +198,16 @@ def gqa_decode_attention(
     scale_spec = pl.BlockSpec(
         (1, bb, NKVT), lambda i, li_ref, *_: (li_ref[0], i, 0)
     )
+    import numpy as _np
+
+    base = jnp.asarray(_np.repeat(_np.arange(NKV) * T, group)[:, None], jnp.int32)
     in_specs = [
+        pl.BlockSpec((NH, 1), lambda i, *_: (0, 0)),
         pl.BlockSpec((bb, NH, D), lambda i, *_: (i, 0, 0)),
         cache_spec,
         cache_spec,
     ]
-    operands = [q, kf, vf]
+    operands = [base, q, kf, vf]
     if ksf is not None:
         in_specs += [scale_spec, scale_spec]
         operands += [ksf, vsf]
@@ -221,5 +233,5 @@ def gqa_decode_attention(
     )(li_arr, kv_start.astype(jnp.int32), kv_end.astype(jnp.int32), *operands)
 
 
-def _nq_kernel(kernel, li_ref, start_ref, end_ref, q_ref, k_ref, v_ref, out_ref):
-    kernel(li_ref, start_ref, end_ref, q_ref, k_ref, v_ref, None, None, out_ref)
+def _nq_kernel(kernel, li_ref, start_ref, end_ref, base_ref, q_ref, k_ref, v_ref, out_ref):
+    kernel(li_ref, start_ref, end_ref, base_ref, q_ref, k_ref, v_ref, None, None, out_ref)
