@@ -80,14 +80,17 @@ class MultiViewJsonDataset:
         return len(self._slots)
 
     def _load_image(self, rel_path: str) -> np.ndarray:
-        from PIL import Image
+        # native thread-pooled decoder when VGGT_NATIVE_DECODE=1 (training
+        # throughput); PIL otherwise — eval parity keeps the reference's
+        # exact decoder (data/image_decode.py parity note)
+        from .image_decode import decode_rgb
 
         root = Path(self.config.root) if self.config.root else Path()
         p = Path(rel_path)
         candidates = [p] if p.is_absolute() else [root / p, root / "data" / "raw" / p]
         for cand in candidates:
             if cand.exists():
-                return np.asarray(Image.open(cand).convert("RGB"))
+                return decode_rgb(str(cand))
         tried = ", ".join(str(c) for c in candidates)
         raise FileNotFoundError(f"image not found: tried {tried}")
 

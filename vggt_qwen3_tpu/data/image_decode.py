@@ -1,0 +1,143 @@
+"""Thread-pooled native JPEG/PNG decoding (csrc/image_decode.cpp) with a PIL
+fallback.
+
+The reference decodes images with PIL inside torchvision DataLoader workers
+(``collate_multiview.py:12-19`` there). The training hot loop here consumes
+B·V (typically 48) images per microbatch; the native decoder releases the
+GIL for the whole batch and fans files across a C++ thread pool (libjpeg /
+libpng), writing straight into preallocated numpy buffers.
+
+Parity note: PNG decode is bit-exact vs PIL by construction (lossless
+format, same normalization rules as ``convert("RGB")``). JPEG decode is the
+same libjpeg family PIL wraps, but a different build may differ by ±1 in a
+few pixels (IDCT rounding) — irrelevant to the bf16 model yet not
+bit-parity, so the native path is **opt-in** for training throughput
+(``VGGT_NATIVE_DECODE=1`` or ``decode_batch_rgb(..., native=True)``) and
+eval-parity paths keep PIL (``tests/test_image_decode.py`` gates both
+claims).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+_CSRC = Path(__file__).resolve().parents[2] / "csrc"
+_LIB_PATH = _CSRC / "libimage_decode.so"
+_lib: Optional[ctypes.CDLL] = None
+_ERRS = {-1: "open/read failed", -2: "unsupported format", -3: "decode failed",
+         -4: "buffer too small"}
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists():
+        import subprocess
+
+        try:  # self-build like jsonl_index (no-op without a toolchain)
+            subprocess.run(["make", "-C", str(_CSRC), "libimage_decode.so"],
+                           capture_output=True, timeout=120, check=True)
+        except Exception:
+            return None
+    if not _LIB_PATH.exists():
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.img_probe.restype = ctypes.c_int
+    lib.img_probe.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+                              ctypes.POINTER(ctypes.c_int)]
+    lib.img_decode_rgb.restype = ctypes.c_int
+    lib.img_decode_rgb.argtypes = [ctypes.c_char_p,
+                                   ctypes.POINTER(ctypes.c_ubyte), ctypes.c_long]
+    lib.img_decode_batch_rgb.restype = ctypes.c_int
+    lib.img_decode_batch_rgb.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+    ]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def native_default() -> bool:
+    return os.environ.get("VGGT_NATIVE_DECODE", "0") == "1" and native_available()
+
+
+def _decode_pil(path: str) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def decode_rgb(path: str, *, native: Optional[bool] = None) -> np.ndarray:
+    """Decode one image file → [H, W, 3] uint8 (PIL ``convert("RGB")``
+    semantics)."""
+    use = native_default() if native is None else native
+    lib = _load() if use else None
+    if lib is None:
+        return _decode_pil(path)
+    w, h = ctypes.c_int(), ctypes.c_int()
+    rc = lib.img_probe(path.encode(), ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:  # e.g. BMP/GIF — PIL handles the long tail
+        return _decode_pil(path)
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.img_decode_rgb(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        out.nbytes,
+    )
+    if rc != 0:
+        raise IOError(f"native decode of {path!r}: {_ERRS.get(rc, rc)}")
+    return out
+
+
+def decode_batch_rgb(
+    paths: Sequence[str], *, native: Optional[bool] = None,
+    nthreads: Optional[int] = None,
+) -> List[np.ndarray]:
+    """Decode a batch → list of [H, W, 3] uint8, concurrently (GIL released
+    for the whole batch) when the native decoder is available."""
+    use = native_default() if native is None else native
+    lib = _load() if use else None
+    if lib is None or not paths:
+        return [_decode_pil(p) for p in paths]
+
+    n = len(paths)
+    outs: List[Optional[np.ndarray]] = [None] * n
+    pil_idx: List[int] = []
+    cpaths, bufs, caps = [], [], []
+    for i, p in enumerate(paths):
+        w, h = ctypes.c_int(), ctypes.c_int()
+        if lib.img_probe(p.encode(), ctypes.byref(w), ctypes.byref(h)) != 0:
+            pil_idx.append(i)  # unsupported container → PIL fallback
+            continue
+        outs[i] = np.empty((h.value, w.value, 3), np.uint8)
+        cpaths.append((i, p))
+    if cpaths:
+        arr_paths = (ctypes.c_char_p * len(cpaths))(
+            *[p.encode() for _, p in cpaths])
+        arr_outs = (ctypes.POINTER(ctypes.c_ubyte) * len(cpaths))(
+            *[outs[i].ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+              for i, _ in cpaths])
+        arr_caps = (ctypes.c_long * len(cpaths))(
+            *[outs[i].nbytes for i, _ in cpaths])
+        arr_rcs = (ctypes.c_int * len(cpaths))()
+        nt = nthreads or min(len(cpaths), os.cpu_count() or 4)
+        lib.img_decode_batch_rgb(arr_paths, len(cpaths), arr_outs, arr_caps,
+                                 arr_rcs, nt)
+        for j, (i, p) in enumerate(cpaths):
+            if arr_rcs[j] != 0:
+                raise IOError(
+                    f"native decode of {p!r}: {_ERRS.get(arr_rcs[j], arr_rcs[j])}")
+    for i in pil_idx:
+        outs[i] = _decode_pil(paths[i])
+    return outs  # type: ignore[return-value]
