@@ -115,3 +115,86 @@ def test_multisteps_composition():
     l1, _ = grad_fn(params)
     assert float(l1) < float(l0)
     assert int(state.mini_step) == 0  # completed whole cycles
+
+
+def test_trainer_optimizer_yaml_option_sharded_step():
+    """train.optimizer: adamw8bit is a first-class trainer option: the
+    sharded train step runs on the virtual mesh with int8 blocked moments
+    (replicated — they don't mirror param shapes) and a finite loss."""
+    import dataclasses
+
+    from vggt_qwen3_tpu.config import (
+        DataConfig, MeshConfig, PerceiverConfig, Qwen3Config, StageConfig,
+        TrainConfig, VLMConfig,
+    )
+    from vggt_qwen3_tpu.parallel.mesh import build_mesh
+    from vggt_qwen3_tpu.parallel.sharding import batch_sharding
+    from vggt_qwen3_tpu.train import trainer
+
+    text = Qwen3Config(
+        vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,
+        num_kv_heads=2, head_dim=16, intermediate_size=128, rope_theta=1e4,
+        tie_word_embeddings=True, dtype="float32",
+    )
+    model = VLMConfig(
+        text=text, vision=None,
+        projector=PerceiverConfig(latent_dim=64, num_latents=8, num_heads=4,
+                                  num_layers=2, ffn_dim=96, dropout=0.0),
+        num_vis_tokens=8, geom_tokens=0, vision_backbone="mock",
+        mock_vision_dim=32, dtype="float32",
+    )
+    stage = StageConfig(
+        model=model, data=DataConfig(),
+        train=TrainConfig(optimizer="adamw8bit", lr=1e-3, proj_lr=1e-3,
+                          warmup_ratio=0.0, max_steps=10, grad_accum=1,
+                          batch_size_per_device=1),
+        mesh=MeshConfig(dp=1, fsdp=2, tp=2),
+    )
+    mesh = build_mesh(stage.mesh, jax.devices()[:4])
+
+    def init_fn(rng):
+        state, _ = trainer.init_train_state(rng, stage, dtype="float32")
+        return state
+
+    state_shape = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+    shardings = trainer.state_shardings(state_shape, mesh)
+    state = jax.jit(init_fn, out_shardings=shardings)(jax.random.PRNGKey(0))
+    tx = trainer.make_tx(stage, state_shape.params)
+    step = trainer.make_train_step(
+        stage, tx, image_token_id=500, has_geom=False, state_sharding=shardings
+    )
+
+    rng = np.random.default_rng(0)
+    B, T = 4, 24
+    ids = rng.integers(1, 400, size=(B, T))
+    ids[:, 2] = 500
+    batch = {
+        "pixel_values": jnp.asarray(rng.uniform(0, 1, (B, 1, 3, 28, 28)), jnp.float32),
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.ones((B, T), jnp.int32),
+        "labels": jnp.asarray(np.where(np.arange(T)[None] < 4, -100, ids)),
+    }
+    batch = jax.tree.map(lambda x: jax.device_put(x, batch_sharding(mesh)), batch)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    # int8 moments present in the sharded opt state
+    qs = [l for l in jax.tree.leaves(state.opt_state) if l.dtype == jnp.int8]
+    assert qs and all(l.shape[-1] == BLOCK for l in qs)
+    # second step (donated state) works too
+    state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_unknown_optimizer_rejected():
+    import optax as _optax
+
+    from vggt_qwen3_tpu.config import TrainConfig
+    from vggt_qwen3_tpu.train.trainer import build_optimizer
+
+    with np.testing.assert_raises(ValueError):
+        build_optimizer(
+            TrainConfig(optimizer="sgd", lr=1e-3, proj_lr=1e-3,
+                        warmup_ratio=0.0, max_steps=10, grad_accum=1,
+                        batch_size_per_device=1),
+            labels=None,
+        )

@@ -117,7 +117,21 @@ def build_optimizer(
     freeze_text_layers: tuple = (),
     num_text_layers: int = 0,
 ) -> optax.GradientTransformation:
+    if cfg.optimizer not in ("adamw", "adamw8bit"):
+        raise ValueError(f"unknown train.optimizer {cfg.optimizer!r}")
+
     def adamw(lr: float) -> optax.GradientTransformation:
+        if cfg.optimizer == "adamw8bit":
+            # block-wise int8 moments (train/adam8bit.py) — 4× smaller
+            # optimizer state and half the update's HBM traffic; the
+            # single-chip recipe's default companion (TRAINING_GUIDE.md)
+            from .adam8bit import scale_by_adam8bit
+
+            return optax.chain(
+                scale_by_adam8bit(b1=0.9, b2=0.999, eps=1e-8),
+                optax.add_decayed_weights(cfg.weight_decay),
+                optax.scale_by_learning_rate(cosine_schedule(lr, cfg)),
+            )
         return optax.adamw(
             cosine_schedule(lr, cfg),
             b1=0.9,
@@ -195,9 +209,16 @@ def state_shardings(state_shape: TrainState, mesh) -> TrainState:
         ndim = len(leaf.shape)
         if ndim == 0:
             return NamedSharding(mesh, P())
-        # optimizer leaves mirror param shapes — reuse the param rules
+        keys = path_keys(path)
+        # 8-bit Adam moments are [n_blocks, BLOCK] — they do NOT mirror the
+        # param shapes, so the suffix rules (which match on param names in
+        # the path) must not assign them a weight layout; replicate (the
+        # whole 8-bit state is ~2 bytes/param)
+        if any(k in ("mu_q", "nu_q") for k in keys):
+            return NamedSharding(mesh, P())
+        # other optimizer leaves mirror param shapes — reuse the param rules
         # (incl. pp stage-sharding of text.layers moments/accumulators)
-        return NamedSharding(mesh, spec_with_pp(path_keys(path), ndim, pp))
+        return NamedSharding(mesh, spec_with_pp(keys, ndim, pp))
 
     opt_sh = jax.tree_util.tree_map_with_path(opt_leaf, state_shape.opt_state)
     return TrainState(params=params_sh, opt_state=opt_sh, step=NamedSharding(mesh, P()))
