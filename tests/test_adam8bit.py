@@ -198,3 +198,35 @@ def test_unknown_optimizer_rejected():
                         batch_size_per_device=1),
             labels=None,
         )
+
+
+def test_adam8bit_state_checkpoint_roundtrip(tmp_path):
+    """Orbax save/restore of the int8 blocked moments (the resume contract
+    must hold for the 8-bit optimizer too): stepped state round-trips
+    bit-exactly, and a restored state continues stepping."""
+    from vggt_qwen3_tpu.train import checkpoint as ckpt
+
+    params, grad_fn = _problem(5, dim=300)
+    tx = adamw8bit(1e-2, weight_decay=1e-4)
+    state = tx.init(params)
+    for i in range(3):
+        _, g = grad_fn(params)
+        u, state = tx.update(g, state, params)
+        params = optax.apply_updates(params, u)
+
+    bundle = {"params": params, "opt": state}
+    path = tmp_path / "step_3"
+    ckpt.save(bundle, path)
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), bundle
+    )
+    restored = ckpt.restore(path, abstract)
+    for a, b in zip(jax.tree.leaves(bundle), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # restored optimizer keeps stepping identically to the live one
+    _, g = grad_fn(params)
+    u_live, _ = tx.update(g, state, params)
+    u_rest, _ = tx.update(g, restored["opt"], restored["params"])
+    for a, b in zip(jax.tree.leaves(u_live), jax.tree.leaves(u_rest)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
