@@ -11,6 +11,7 @@ dry-run with a timeout.
 from __future__ import annotations
 
 import argparse
+import os
 import subprocess
 import sys
 import time
@@ -39,10 +40,41 @@ def main() -> None:
 
     @check("1. JAX devices")
     def _devices():
-        import jax
+        # Probe in a BOUNDED subprocess: a wedged backend relay blocks
+        # inside backend init uninterruptibly (the axon failure mode), and
+        # an in-process jax.devices() would hang the whole preflight. The
+        # child also runs one tiny matmul — "device listed" is weaker than
+        # "device accepts work".
+        import subprocess
+        import sys as _sys
 
-        devs = jax.devices()
-        return f"{len(devs)} × {devs[0].platform} ({jax.default_backend()})"
+        # a deliberate CPU run must not touch the accelerator plugin at all
+        # (the axon plugin ignores the env var — only the config call works)
+        force_cpu = os.environ.get("JAX_PLATFORMS", "").startswith("cpu")
+        src = (
+            "import jax\n"
+            + ("jax.config.update('jax_platforms', 'cpu')\n" if force_cpu else "")
+            + "import jax.numpy as jnp, numpy as np\n"
+            "d = jax.devices()\n"
+            "x = jnp.ones((64, 64), jnp.float32)\n"
+            "float(np.asarray((x @ x).sum()))\n"
+            "print(f'{len(d)} x {d[0].platform} ({jax.default_backend()})')\n"
+        )
+        try:
+            r = subprocess.run(
+                [_sys.executable, "-c", src],
+                capture_output=True, text=True, timeout=120,
+            )
+        except subprocess.TimeoutExpired:
+            raise RuntimeError(
+                "backend init did not complete in 120s — wedged device "
+                "relay / dead accelerator runtime (a real chip answers in "
+                "seconds); fix the backend before launching training"
+            )
+        if r.returncode != 0:
+            tail = (r.stderr or "").strip().splitlines()[-1:] or ["(no stderr)"]
+            raise RuntimeError(f"device probe failed: {tail[0][:200]}")
+        return r.stdout.strip()
 
     @check("2. package imports")
     def _imports():
