@@ -19,7 +19,7 @@ Rebuilds the capabilities of the VGGT-Qwen3 RoomPlan stack (reference:
 - ``evals/``   : EM / partial-match / 3D-IoU metrics and the baseline eval driver.
 """
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 
 def _honor_jax_platforms_env() -> None:
