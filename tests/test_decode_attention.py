@@ -163,3 +163,56 @@ def test_engine_generate_token_exact_with_forced_kernel(monkeypatch):
         attention_mask=jnp.asarray(mask),
     )
     assert np.asarray(got).tolist() == np.asarray(ref).tolist()
+
+
+def test_per_row_decode_forced_kernel_matches_xla(monkeypatch):
+    """The continuous-batching decode shape: [B] per-row cache offsets with a
+    [B, T] frontier mask (each slot at its own depth). Forced-kernel forward
+    must match the XLA path bit-for-bit in greedy terms."""
+    from vggt_qwen3_tpu.config import Qwen3Config
+    from vggt_qwen3_tpu.models import qwen3
+
+    cfg = Qwen3Config(
+        vocab_size=256, hidden_size=512, num_layers=2, num_heads=4,
+        num_kv_heads=2, head_dim=128, intermediate_size=256, rope_theta=1e4,
+        tie_word_embeddings=True, dtype="float32",
+    )
+    params = qwen3.init_params(jax.random.PRNGKey(4), cfg, dtype="float32")
+    rng = np.random.default_rng(4)
+    B_pr, T_pr = 160, 32
+    cache = qwen3.init_cache(cfg, B_pr, T_pr, dtype="int8")
+
+    # per-row prompts of varying depth, prefilled at offset 0
+    plen = rng.integers(4, 12, (B_pr,))
+    ids = rng.integers(1, 256, (B_pr, 16))
+    mask16 = (np.arange(16)[None, :] < plen[:, None]).astype(np.int32)
+    kv_mask = np.zeros((B_pr, T_pr), np.int32)
+    kv_mask[:, :16] = mask16
+    emb = qwen3.embed_tokens(params, jnp.asarray(ids * mask16))
+    _, cache = qwen3.forward(
+        params, cfg, inputs_embeds=emb,
+        attention_mask=jnp.asarray(kv_mask),
+        positions=jnp.asarray(np.maximum(np.cumsum(mask16, -1) - 1, 0)),
+        cache=cache, cache_offset=0, last_logit_only=True,
+    )
+
+    # one per-row decode step at each row's own frontier
+    offs = plen.astype(np.int32)
+    kv_mask2 = kv_mask.copy()
+    kv_mask2[np.arange(B_pr), offs] = 1
+    tok = rng.integers(1, 256, (B_pr, 1))
+    demb = qwen3.embed_tokens(params, jnp.asarray(tok))
+
+    outs = {}
+    for mode in ("0", "force"):
+        monkeypatch.setenv("VGGT_DECODE_KERNEL", mode)
+        logits, _ = qwen3.forward(
+            params, cfg, inputs_embeds=demb,
+            attention_mask=jnp.asarray(kv_mask2),
+            positions=jnp.asarray(offs)[:, None],
+            cache=cache, cache_offset=jnp.asarray(offs),
+            decode_frontier=True,
+        )
+        outs[mode] = np.asarray(logits[:, 0])
+    assert np.argmax(outs["0"], -1).tolist() == np.argmax(outs["force"], -1).tolist()
+    np.testing.assert_allclose(outs["force"], outs["0"], rtol=3e-2, atol=3e-3)

@@ -233,10 +233,16 @@ def _admit(params, state, cfg: Qwen3Config, slot: jnp.ndarray,
     return state
 
 
-@partial(jax.jit, static_argnames=("cfg", "gen_cfg", "chunk"), donate_argnums=(1,))
+@partial(
+    jax.jit, static_argnames=("cfg", "gen_cfg", "chunk", "frontier"), donate_argnums=(1,)
+)
 def _decode_chunk(params, state, cfg: Qwen3Config, gen_cfg: GenerationConfig, chunk: int,
-                  constraint: Optional[jnp.ndarray] = None):
-    """Advance every active slot ``chunk`` tokens (one compiled scan)."""
+                  constraint: Optional[jnp.ndarray] = None, frontier: bool = False):
+    """Advance every active slot ``chunk`` tokens (one compiled scan).
+
+    ``frontier``: every kv_mask row is one contiguous run (true until a
+    prefix-admitted row exists — those interleave prefix ones with suffix
+    left-pad zeros), unlocking the fused decode-attention kernel on TPU."""
     B = state["active"].shape[0]
     N = gen_cfg.max_new_tokens
     rows = jnp.arange(B)
@@ -279,7 +285,7 @@ def _decode_chunk(params, state, cfg: Qwen3Config, gen_cfg: GenerationConfig, ch
         logits_new, cache = qwen3.forward(
             params, cfg, inputs_embeds=emb, attention_mask=kv_mask,
             positions=state["rot_pos"][:, None], cache=state["cache"],
-            cache_offset=off,
+            cache_offset=off, decode_frontier=frontier,
         )
         state = dict(
             state,
@@ -523,6 +529,11 @@ class SlotEngine:
         # live prompt tokens per occupant (valid prompt + prefix), host-side
         # bookkeeping for the KV-occupancy measurement
         self._slot_prompt_tokens = [0] * num_slots
+        # every kv_mask row is one contiguous run until a prefix-admitted row
+        # exists (prefix ones + suffix left-pad zeros interleave) — while
+        # true, the decode chunks may use the fused frontier kernel; flips
+        # False permanently on the first prefix admission (one recompile)
+        self._frontier_ok = True
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._lock = threading.Lock()
@@ -622,6 +633,7 @@ class SlotEngine:
                     jnp.asarray(req.attention_mask, jnp.int32), budget, lids,
                 )
             else:
+                self._frontier_ok = False  # holed row lives in the cache now
                 cache, mask, _ = self.prefixes[req.prefix_id]
                 self.state = _admit_prefixed(
                     self.params, self.state, self.cfg, jnp.int32(slot),
@@ -692,6 +704,7 @@ class SlotEngine:
                     self.state, snap = _decode_chunk(
                         self.params, self.state, self.cfg, self.gen_cfg,
                         self.decode_chunk, self.constraint,
+                        frontier=self._frontier_ok,
                     )
                 self._chunk_idx += 1
                 self.stats.chunks += 1
