@@ -60,10 +60,6 @@ def test_trajectory_tracks_exact_adamw():
     tx_e = optax.adamw(1e-2, weight_decay=1e-4)
     s_q, s_e = tx_q.init(params_q), tx_e.init(params_e)
 
-    @jax.jit
-    def step(params, state, tx_idx):
-        return params, state  # placeholder (jit per-tx below instead)
-
     losses_q, losses_e = [], []
     for _ in range(50):
         lq, gq = grad_fn(params_q)
@@ -186,7 +182,6 @@ def test_trainer_optimizer_yaml_option_sharded_step():
 
 
 def test_unknown_optimizer_rejected():
-    import optax as _optax
 
     from vggt_qwen3_tpu.config import TrainConfig
     from vggt_qwen3_tpu.train.trainer import build_optimizer
