@@ -216,3 +216,84 @@ def test_per_row_decode_forced_kernel_matches_xla(monkeypatch):
         outs[mode] = np.asarray(logits[:, 0])
     assert np.argmax(outs["0"], -1).tolist() == np.argmax(outs["force"], -1).tolist()
     np.testing.assert_allclose(outs["force"], outs["0"], rtol=3e-2, atol=3e-3)
+
+
+def test_block_verify_matches_xla_oracle():
+    """Speculative verify-block attention (S queries per row at per-row
+    depths, in-block causal) vs the XLA oracle with the [B, S, T] mask both
+    speculative engines build."""
+    from vggt_qwen3_tpu.ops.decode_attention import gqa_block_verify_attention
+
+    rng = np.random.default_rng(7)
+    S = 4
+    q = jnp.asarray(rng.standard_normal((B, S, NH, D)), jnp.float32)
+    k, v, ks, vs = _rand_cache(rng, quantized=True)
+    start = jnp.asarray(rng.integers(0, 6, (B,)), jnp.int32)
+    off = jnp.asarray(rng.integers(10, T - S, (B,)), jnp.int32)
+
+    # oracle mask: valid(r, j, t) = start_r ≤ t < off_r + j + 1
+    pos = jnp.arange(T)[None, None, :]
+    mask = (pos >= start[:, None, None]) & (
+        pos < (off[:, None] + jnp.arange(S)[None, :] + 1)[:, :, None]
+    )  # [B, S, T]
+
+    for li in range(L):
+        got = gqa_block_verify_attention(
+            q, k, v, li, start, off, ks, vs, interpret=True, block_b=2
+        )
+        ref = mha_quantized_kv(
+            q, k[li], ks[li], v[li], vs[li],
+            mask=mask[:, None, :, :], kv_heads_major=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref, np.float32), rtol=2e-2, atol=2e-4
+        )
+
+
+def test_block_verify_s1_equals_decode_kernel():
+    """S=1 block verify is plain decode with end = off + 1."""
+    from vggt_qwen3_tpu.ops.decode_attention import gqa_block_verify_attention
+
+    rng = np.random.default_rng(8)
+    q = jnp.asarray(rng.standard_normal((B, NH, D)), jnp.float32)
+    k, v, ks, vs = _rand_cache(rng, quantized=True)
+    start = jnp.zeros((B,), jnp.int32)
+    off = jnp.asarray(rng.integers(4, T - 1, (B,)), jnp.int32)
+
+    a = gqa_decode_attention(q, k, v, 1, start, off + 1, ks, vs, interpret=True)
+    b = gqa_block_verify_attention(
+        q[:, None], k, v, 1, start, off, ks, vs, interpret=True
+    )[:, 0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_speculative_generate_token_exact_with_forced_kernel(monkeypatch):
+    """The speculative engine's verify blocks route through the fused
+    block-verify kernel under force — tokens must equal the XLA path's."""
+    from vggt_qwen3_tpu.config import Qwen3Config
+    from vggt_qwen3_tpu.inference.engine import GenerationConfig
+    from vggt_qwen3_tpu.inference.speculative import generate_speculative
+    from vggt_qwen3_tpu.models import qwen3
+
+    cfg = Qwen3Config(
+        vocab_size=256, hidden_size=512, num_layers=2, num_heads=4,
+        num_kv_heads=2, head_dim=128, intermediate_size=256, rope_theta=1e4,
+        tie_word_embeddings=True, dtype="float32",
+    )
+    params = qwen3.init_params(jax.random.PRNGKey(9), cfg, dtype="float32")
+    rng = np.random.default_rng(9)
+    B_eng = 160  # B·T = 160·32 ≥ 4096, T = 12+20 = 32 tile-aligned
+    ids = rng.integers(1, 256, (B_eng, 12))
+    mask = jnp.ones((B_eng, 12), jnp.int32)
+    emb = qwen3.embed_tokens(params, jnp.asarray(ids))
+    gen_cfg = GenerationConfig(max_new_tokens=20, pad_token_id=0, kv_dtype="int8")
+
+    outs = {}
+    for mode in ("0", "force"):
+        monkeypatch.setenv("VGGT_DECODE_KERNEL", mode)
+        toks, lens, _ = generate_speculative(
+            params, cfg, gen_cfg, inputs_embeds=emb, attention_mask=mask,
+            prompt_ids=jnp.asarray(ids), draft_k=3, ngram=2,
+        )
+        outs[mode] = (np.asarray(toks).tolist(), np.asarray(lens).tolist())
+    assert outs["force"] == outs["0"]

@@ -314,9 +314,14 @@ def _decode_chunk(params, state, cfg: Qwen3Config, gen_cfg: GenerationConfig, ch
     return state, snap
 
 
-@partial(jax.jit, static_argnames=("cfg", "gen_cfg", "k", "ngram"), donate_argnums=(1,))
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "gen_cfg", "k", "ngram", "frontier"),
+    donate_argnums=(1,),
+)
 def _spec_chunk(params, state, cfg: Qwen3Config, gen_cfg: GenerationConfig,
-                k: int, ngram: int, constraint: Optional[jnp.ndarray] = None):
+                k: int, ngram: int, constraint: Optional[jnp.ndarray] = None,
+                frontier: bool = False):
     """Speculative continuous batching: ONE verify block advances every
     active slot 1..k+1 tokens per weight read (prompt-lookup drafting —
     the slots adaptation of ``speculative._iteration_body``; same token
@@ -360,6 +365,7 @@ def _spec_chunk(params, state, cfg: Qwen3Config, gen_cfg: GenerationConfig,
     logits, cache = qwen3.forward(
         params, cfg, input_ids=block, attention_mask=amask.astype(jnp.int32),
         positions=positions, cache=state["cache"], cache_offset=off,
+        decode_frontier=frontier,  # contiguous rows until a prefix admission
     )
     logits = logits.astype(jnp.float32)
 
@@ -699,6 +705,7 @@ class SlotEngine:
                     self.state, snap, accepted = _spec_chunk(
                         self.params, self.state, self.cfg, self.gen_cfg,
                         self.draft_k, self.ngram, self.constraint,
+                        frontier=self._frontier_ok,
                     )
                 else:
                     self.state, snap = _decode_chunk(

@@ -213,6 +213,9 @@ def _iteration_body(
     logits, cache = qwen3.forward(
         params, cfg, input_ids=block, attention_mask=amask.astype(jnp.int32),
         positions=positions, cache=cache, cache_offset=kv_off,
+        # amask rows are per-query frontiers ([start, kv_off + j + 1)) —
+        # unlocks the fused block-verify kernel at eligible shapes
+        decode_frontier=True,
     )
     logits = logits.astype(jnp.float32)  # [B, k+1, V]
 

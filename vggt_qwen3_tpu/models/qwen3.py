@@ -288,31 +288,42 @@ def forward_hidden(
         # env: "1" (default) = on for TPU; "0" = off; "force" = on for any
         # backend via the kernel interpreter (CPU engine-level tests)
         _dk = os.environ.get("VGGT_DECODE_KERNEL", "1")
-        use_decode_kernel = (
-            decode_frontier
-            and S == 1
-            and attention_mask is not None
-            and attention_mask.ndim == 2
-            and _dk != "0"
-            and (jax.default_backend() == "tpu" or _dk == "force")
-        )
-        if use_decode_kernel:
-            from ..ops.decode_attention import (
-                decode_attention_eligible,
-                gqa_decode_attention,
-            )
+        _dk_on = _dk != "0" and (jax.default_backend() == "tpu" or _dk == "force")
+        _eligible = False
+        if decode_frontier and _dk_on and attention_mask is not None:
+            from ..ops.decode_attention import decode_attention_eligible
 
-            use_decode_kernel = decode_attention_eligible(
+            _eligible = decode_attention_eligible(
                 B, cfg.num_heads, cfg.num_kv_heads, kv_len, cfg.head_dim,
                 cache["k"].dtype,
             )
+        use_decode_kernel = _eligible and S == 1 and attention_mask.ndim == 2
+        # speculative verify blocks: S = k+1 queries per row, query j's mask
+        # row = query 0's plus exactly j more slots (in-block causality) —
+        # the structure both speculative engines build
+        use_verify_kernel = (
+            _eligible
+            and S > 1
+            and per_row
+            and attention_mask.ndim == 3
+            and S * cfg.num_heads <= 1024
+        )
         if use_decode_kernel:
+            from ..ops.decode_attention import gqa_decode_attention
+
             am = attention_mask.astype(jnp.int32)
             f_start = jnp.argmax(am, axis=-1).astype(jnp.int32)
             f_end = f_start + am.sum(-1).astype(jnp.int32)
             # belt-and-braces causal clamp (engine masks already stop at the
             # frontier; a sloppier caller's mask must not see the future)
             f_end = jnp.minimum(f_end, jnp.asarray(cache_offset, jnp.int32) + 1)
+        elif use_verify_kernel:
+            from ..ops.decode_attention import gqa_block_verify_attention
+
+            am0 = attention_mask[:, 0, :].astype(jnp.int32)  # query 0's row
+            f_start = jnp.argmax(am0, axis=-1).astype(jnp.int32)
+            f_off = f_start + am0.sum(-1).astype(jnp.int32) - 1
+            f_off = jnp.minimum(f_off, jnp.asarray(cache_offset, jnp.int32))
 
         rows = jnp.arange(B)
 
@@ -366,6 +377,18 @@ def forward_hidden(
                     c.get("vs"),
                     interpret=jax.default_backend() != "tpu",
                 )[:, None]
+            elif use_verify_kernel:
+                attn = gqa_block_verify_attention(
+                    q,
+                    c["k"],
+                    c["v"],
+                    li,
+                    f_start,
+                    f_off,
+                    c.get("ks"),
+                    c.get("vs"),
+                    interpret=jax.default_backend() != "tpu",
+                )
             elif quantized_kv:
                 # scales folded onto scores/probs so the int8 K/V enter their
                 # dots as PURE converts (XLA fuses those; a dequant-then-mha

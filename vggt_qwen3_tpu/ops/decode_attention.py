@@ -55,46 +55,47 @@ NEG_INF = -1e30
 def _decode_kernel(
     li_ref,  # [1] int32 scalar prefetch: layer index (consumed by index maps)
     start_ref,  # [B] int32 scalar prefetch: first valid kv slot per row
-    end_ref,  # [B] int32 scalar prefetch: one past last valid kv slot per row
-    base_ref,  # [NH, 1] int32: (head // group)·T — see mask note below
-    q_ref,  # [bb, NH, D]
+    end0_ref,  # [B] int32 scalar prefetch: query 0's one-past-last valid slot
+    base_ref,  # [R, 1] int32: kv-block base (head // group)·T per score-row
+    jrow_ref,  # [R, 1] int32: query index per score-row (0 for S=1 decode)
+    q_ref,  # [bb, R, D] with R = S·NH score rows
     k_ref,  # [1, bb, NKVT, D] int8 | bf16 (layer-indexed block of the cache)
     v_ref,  # [1, bb, NKVT, D]
     ks_ref,  # [1, bb, NKVT] bf16 or None
     vs_ref,  # [1, bb, NKVT] bf16 or None
-    out_ref,  # [bb, NH, D]
+    out_ref,  # [bb, R, D]
     *,
     scale: float,
-    T: int,
-    group: int,
 ):
     del li_ref  # only the BlockSpec index maps read it
-    bb, NH, D = q_ref.shape
+    bb, R, D = q_ref.shape
     NKVT = k_ref.shape[2]
 
-    # Division-free block-diagonal frontier mask: on query-head h's own kv
-    # block, the within-block slot is d = col − (h // group)·T, and the
-    # frontier bounds 0 ≤ start ≤ d < end ≤ T reject every off-diagonal
-    # column by themselves (d < 0 or d ≥ T there). base arrives as a tiny
-    # host-computed operand — no vector int div/mod for Mosaic to legalize.
-    col = jax.lax.broadcasted_iota(jnp.int32, (NH, NKVT), 1)
-    d_slot = col - base_ref[:, :]  # [NH, NKVT]
+    # Division-free block-diagonal frontier mask: on a score-row's own kv
+    # block, the within-block slot is d = col − base, and the frontier
+    # bounds 0 ≤ start ≤ d < end0 + j ≤ T reject every off-diagonal column
+    # by themselves (d < 0 or d ≥ T there). ``j`` is the query index within
+    # a speculative verify block — each successive query sees one more slot
+    # (in-block causality); plain decode passes j = 0. base/j arrive as tiny
+    # host-computed operands — no vector int div/mod for Mosaic to legalize.
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, NKVT), 1)
+    d_slot = col - base_ref[:, :]  # [R, NKVT]
 
     i = pl.program_id(0)
     for r in range(bb):  # static unroll; each row = two 2-D dots
         row = i * bb + r
-        q = q_ref[r].astype(jnp.float32)  # [NH, D]
+        q = q_ref[r].astype(jnp.float32)  # [R, D]
         k = k_ref[0, r].astype(jnp.float32)  # [NKVT, D]
         s = jax.lax.dot_general(
             q, k,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [NH, NKVT]
+        )  # [R, NKVT]
         if ks_ref is not None:
             s = s * (ks_ref[0, r : r + 1].astype(jnp.float32) * scale)
         else:
             s = s * scale
-        valid = (d_slot >= start_ref[row]) & (d_slot < end_ref[row])
+        valid = (d_slot >= start_ref[row]) & (d_slot < end0_ref[row] + jrow_ref[:, :])
         s = jnp.where(valid, s, NEG_INF)
 
         m = jnp.max(s, axis=-1, keepdims=True)
@@ -107,7 +108,7 @@ def _decode_kernel(
             p, v,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [NH, D]
+        )  # [R, D]
         out_ref[r] = (pv / jnp.maximum(l, 1e-20)).astype(out_ref.dtype)
 
 
@@ -137,9 +138,72 @@ def decode_attention_eligible(
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("scale", "interpret", "block_b")
-)
+def _call_kernel(
+    q2,  # [B, R, D] flattened score rows
+    kf, vf, ksf, vsf,  # flattened stacked cache (+ scales or None)
+    li, start, end0, base, jrow,
+    *, scale, interpret, block_b,
+):
+    B, R, D = q2.shape
+    NKVT = kf.shape[2]
+    bb = block_b or _pick_block_b(B, NKVT, D, kf.dtype.itemsize)
+    grid = (B // bb,)
+
+    li_arr = jnp.asarray(li, jnp.int32).reshape(1)
+    kernel = functools.partial(_decode_kernel, scale=scale)
+    if ksf is None:
+        kernel = functools.partial(_nq_kernel, kernel)
+
+    cache_spec = pl.BlockSpec(
+        (1, bb, NKVT, D), lambda i, li_ref, *_: (li_ref[0], i, 0, 0)
+    )
+    scale_spec = pl.BlockSpec(
+        (1, bb, NKVT), lambda i, li_ref, *_: (li_ref[0], i, 0)
+    )
+    row_spec = pl.BlockSpec((R, 1), lambda i, *_: (0, 0))
+    in_specs = [
+        row_spec,  # base
+        row_spec,  # jrow
+        pl.BlockSpec((bb, R, D), lambda i, *_: (i, 0, 0)),
+        cache_spec,
+        cache_spec,
+    ]
+    operands = [base, jrow, q2, kf, vf]
+    if ksf is not None:
+        in_specs += [scale_spec, scale_spec]
+        operands += [ksf, vsf]
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((bb, R, D), lambda i, *_: (i, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, R, D), q2.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * R * NKVT * D,
+            bytes_accessed=2 * B * NKVT * D * kf.dtype.itemsize + 4 * B * R * D,
+            transcendentals=B * R * NKVT,
+        ),
+    )(li_arr, start.astype(jnp.int32), end0.astype(jnp.int32), *operands)
+
+
+def _flatten_cache(k, v, ks, vs):
+    L, B, NKV, T, D = k.shape
+    kf = k.reshape(L, B, NKV * T, D)  # pure views when T is tile-aligned
+    vf = v.reshape(L, B, NKV * T, D)
+    ksf = ks.reshape(L, B, NKV * T) if ks is not None else None
+    vsf = vs.reshape(L, B, NKV * T) if vs is not None else None
+    return kf, vf, ksf, vsf
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "block_b"))
 def gqa_decode_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -167,71 +231,80 @@ def gqa_decode_attention(
     Returns:
         [B, NH, D] attention output in q's dtype.
     """
+    import numpy as _np
+
     B, NH, D = q.shape
     L, _, NKV, T, _ = k.shape
     group = NH // NKV
-    NKVT = NKV * T
     if scale is None:
         scale = D**-0.5
-
-    # Pure views when T is tile-aligned (decode_attention_eligible).
-    kf = k.reshape(L, B, NKVT, D)
-    vf = v.reshape(L, B, NKVT, D)
-    ksf = ks.reshape(L, B, NKVT) if ks is not None else None
-    vsf = vs.reshape(L, B, NKVT) if vs is not None else None
-
-    bb = block_b or _pick_block_b(B, NKVT, D, kf.dtype.itemsize)
-    grid = (B // bb,)
-
+    kf, vf, ksf, vsf = _flatten_cache(k, v, ks, vs)
     # the division-free in-kernel mask relies on 0 ≤ start ≤ end ≤ T
-    kv_start = jnp.clip(kv_start.astype(jnp.int32), 0, T)
-    kv_end = jnp.clip(kv_end.astype(jnp.int32), 0, T)
-
-    li_arr = jnp.asarray(li, jnp.int32).reshape(1)
-    kernel = functools.partial(_decode_kernel, scale=scale, T=T, group=group)
-    if ksf is None:
-        kernel = functools.partial(_nq_kernel, kernel)
-
-    cache_spec = pl.BlockSpec(
-        (1, bb, NKVT, D), lambda i, li_ref, *_: (li_ref[0], i, 0, 0)
+    start = jnp.clip(kv_start.astype(jnp.int32), 0, T)
+    end0 = jnp.clip(kv_end.astype(jnp.int32), 0, T)
+    base = jnp.asarray(_np.repeat(_np.arange(NKV) * T, group)[:, None], jnp.int32)
+    jrow = jnp.zeros((NH, 1), jnp.int32)
+    return _call_kernel(
+        q, kf, vf, ksf, vsf, li, start, end0, base, jrow,
+        scale=scale, interpret=interpret, block_b=block_b,
     )
-    scale_spec = pl.BlockSpec(
-        (1, bb, NKVT), lambda i, li_ref, *_: (li_ref[0], i, 0)
-    )
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "block_b"))
+def gqa_block_verify_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    li,
+    kv_start: jnp.ndarray,
+    kv_off: jnp.ndarray,
+    ks: Optional[jnp.ndarray] = None,
+    vs: Optional[jnp.ndarray] = None,
+    *,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+    block_b: Optional[int] = None,
+) -> jnp.ndarray:
+    """Fused speculative block-verify attention: S = k+1 queries per row at
+    per-row depths, query j seeing ``[kv_start, kv_off + j + 1)`` — the
+    in-block-causal frontier both speculative engines build
+    (``inference/speculative.py`` / ``slots._spec_chunk``). The S·NH score
+    rows share one QK and one PV dot per batch row (better MXU occupancy
+    than S=1) and the whole cache still streams exactly once.
+
+    Args:
+        q: [B, S, NH, D] verify-block queries.
+        kv_off: [B] int32 — the block's write offset per row (query 0's
+            frontier end minus one).
+    Returns:
+        [B, S, NH, D] in q's dtype.
+    """
     import numpy as _np
 
-    base = jnp.asarray(_np.repeat(_np.arange(NKV) * T, group)[:, None], jnp.int32)
-    in_specs = [
-        pl.BlockSpec((NH, 1), lambda i, *_: (0, 0)),
-        pl.BlockSpec((bb, NH, D), lambda i, *_: (i, 0, 0)),
-        cache_spec,
-        cache_spec,
-    ]
-    operands = [base, q, kf, vf]
-    if ksf is not None:
-        in_specs += [scale_spec, scale_spec]
-        operands += [ksf, vsf]
-
-    return pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec((bb, NH, D), lambda i, *_: (i, 0, 0)),
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, NH, D), q.dtype),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * B * NH * NKVT * D,
-            bytes_accessed=2 * B * NKVT * D * kf.dtype.itemsize + 4 * B * NH * D,
-            transcendentals=B * NH * NKVT,
-        ),
-    )(li_arr, kv_start.astype(jnp.int32), kv_end.astype(jnp.int32), *operands)
+    B, S, NH, D = q.shape
+    L, _, NKV, T, _ = k.shape
+    group = NH // NKV
+    if scale is None:
+        scale = D**-0.5
+    kf, vf, ksf, vsf = _flatten_cache(k, v, ks, vs)
+    start = jnp.clip(kv_start.astype(jnp.int32), 0, T)
+    # end(r, j) = off + 1 + j must stay ≤ T for every j < S
+    end0 = jnp.clip(kv_off.astype(jnp.int32) + 1, 0, T - (S - 1))
+    base = jnp.asarray(
+        _np.tile(_np.repeat(_np.arange(NKV) * T, group), S)[:, None], jnp.int32
+    )
+    jrow = jnp.asarray(_np.repeat(_np.arange(S), NH)[:, None], jnp.int32)
+    out = _call_kernel(
+        q.reshape(B, S * NH, D), kf, vf, ksf, vsf, li, start, end0, base, jrow,
+        scale=scale, interpret=interpret, block_b=block_b,
+    )
+    return out.reshape(B, S, NH, D)
 
 
-def _nq_kernel(kernel, li_ref, start_ref, end_ref, base_ref, q_ref, k_ref, v_ref, out_ref):
-    kernel(li_ref, start_ref, end_ref, base_ref, q_ref, k_ref, v_ref, None, None, out_ref)
+def _nq_kernel(
+    kernel, li_ref, start_ref, end0_ref, base_ref, jrow_ref, q_ref, k_ref, v_ref, out_ref
+):
+    kernel(
+        li_ref, start_ref, end0_ref, base_ref, jrow_ref, q_ref, k_ref, v_ref,
+        None, None, out_ref,
+    )
