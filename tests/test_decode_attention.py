@@ -297,3 +297,50 @@ def test_speculative_generate_token_exact_with_forced_kernel(monkeypatch):
         )
         outs[mode] = (np.asarray(toks).tolist(), np.asarray(lens).tolist())
     assert outs["force"] == outs["0"]
+
+
+def test_speculative_forced_kernel_with_dead_rows(monkeypatch):
+    """Rows that hit EOS mid-run keep attending as garbage (their outputs
+    are discarded); kernel and XLA garbage differ, so exactness must come
+    from the engine's alive-gating — prove tokens and lengths still match
+    when rows die at different steps."""
+    from vggt_qwen3_tpu.config import Qwen3Config
+    from vggt_qwen3_tpu.inference.engine import GenerationConfig
+    from vggt_qwen3_tpu.inference.speculative import generate_speculative
+    from vggt_qwen3_tpu.models import qwen3
+
+    cfg = Qwen3Config(
+        vocab_size=256, hidden_size=512, num_layers=2, num_heads=4,
+        num_kv_heads=2, head_dim=128, intermediate_size=256, rope_theta=1e4,
+        tie_word_embeddings=True, dtype="float32",
+    )
+    params = qwen3.init_params(jax.random.PRNGKey(10), cfg, dtype="float32")
+    rng = np.random.default_rng(10)
+    B_eng = 160
+    ids = rng.integers(1, 256, (B_eng, 12))
+    mask = jnp.ones((B_eng, 12), jnp.int32)
+    emb = qwen3.embed_tokens(params, jnp.asarray(ids))
+
+    # find a token some rows emit early and declare it EOS
+    free_cfg = GenerationConfig(max_new_tokens=20, pad_token_id=0, kv_dtype="int8")
+    monkeypatch.setenv("VGGT_DECODE_KERNEL", "0")
+    free, _, _ = generate_speculative(
+        params, cfg, free_cfg, inputs_embeds=emb, attention_mask=mask,
+        prompt_ids=jnp.asarray(ids), draft_k=3, ngram=2,
+    )
+    vals, counts = np.unique(np.asarray(free)[:, :6], return_counts=True)
+    eos = int(vals[np.argmax(counts)])  # common early token → staggered deaths
+    gen_cfg = GenerationConfig(max_new_tokens=20, pad_token_id=0,
+                               kv_dtype="int8", eos_token_id=eos)
+
+    outs = {}
+    for mode in ("0", "force"):
+        monkeypatch.setenv("VGGT_DECODE_KERNEL", mode)
+        toks, lens, _ = generate_speculative(
+            params, cfg, gen_cfg, inputs_embeds=emb, attention_mask=mask,
+            prompt_ids=jnp.asarray(ids), draft_k=3, ngram=2,
+        )
+        outs[mode] = (np.asarray(toks).tolist(), np.asarray(lens).tolist())
+    lens0 = outs["0"][1]
+    assert min(lens0) < max(lens0), "want staggered deaths for the edge case"
+    assert outs["force"] == outs["0"]
