@@ -723,7 +723,12 @@ def serve_mode() -> None:
     cfg = QWEN3_TINY if tiny else QWEN3_4B_INSTRUCT_2507
     n_req = int(os.environ.get("BENCH_SERVE_REQS", "8" if tiny else "64"))
     slots = int(os.environ.get("BENCH_SLOTS", "4" if tiny else "16"))
-    prompt_len, new_tokens = (8, 8) if tiny else (32, 32)
+    prompt_len, new_tokens = (8, 8) if tiny else (
+        int(os.environ.get("BENCH_SERVE_PROMPT", "32")),
+        int(os.environ.get("BENCH_SERVE_NEW", "32")),
+    )
+    # kernel-eligible serve shape for on-chip A/B: BENCH_SLOTS=64
+    # BENCH_SERVE_PROMPT=64 BENCH_SERVE_NEW=64 → row 128, B·T=8192, T%32=0
 
     # BENCH_SERVE_STRUCT=1: schema-FSM-constrained decoding (the ARKit action
     # serving case — outputs follow a repeating JSON-like skeleton).
