@@ -606,7 +606,7 @@ def train_mode() -> None:
         "mask": jnp.ones((B,), bool),
     }
 
-    def cycle_loss(tr, rng):
+    def cycle_loss(tr, frozen, rng):
         p = dict(frozen)
         p["projector"] = tr["projector"]
         p["geom"] = tr["geom"]
@@ -619,11 +619,16 @@ def train_mode() -> None:
             attention_mask=c_mask, labels=c_labels, image_token_id=img_id, rng=rng,
         )
 
+    # frozen params enter as an ARGUMENT: closing over them bakes ~5 GB of
+    # weights into the HLO as captured constants — XLA constant-folds over
+    # them (25+ min lowering) and the executable blob balloons
     @partial(jax.jit, donate_argnums=(0, 1))
-    def accum_cycle(tr, opt_state, rng):
+    def accum_cycle(tr, opt_state, frozen, rng):
         def micro(carry, i):
             tr, opt_state = carry
-            loss, grads = jax.value_and_grad(cycle_loss)(tr, jax.random.fold_in(rng, i))
+            loss, grads = jax.value_and_grad(cycle_loss)(
+                tr, frozen, jax.random.fold_in(rng, i)
+            )
             updates, opt_state = tx.update(grads, opt_state, tr)
             tr = optax.apply_updates(tr, updates)
             return (tr, opt_state), loss
@@ -634,7 +639,9 @@ def train_mode() -> None:
         return tr, opt_state, losses.mean()
 
     t0 = time.time()
-    trainable, opt_state, mloss = accum_cycle(trainable, opt_state, jax.random.PRNGKey(9))
+    trainable, opt_state, mloss = accum_cycle(
+        trainable, opt_state, frozen, jax.random.PRNGKey(9)
+    )
     mloss = float(np.asarray(mloss))
     print(
         f"cycle compile+warmup ({k_cycle} micro + {opt_name} update): "
@@ -646,7 +653,7 @@ def train_mode() -> None:
     for i in range(2):
         t0 = time.time()
         trainable, opt_state, mloss = accum_cycle(
-            trainable, opt_state, jax.random.PRNGKey(10 + i)
+            trainable, opt_state, frozen, jax.random.PRNGKey(10 + i)
         )
         np.asarray(mloss)  # host fetch forces execution on this backend
         cycle_times.append(time.time() - t0)
