@@ -563,8 +563,11 @@ def train_mode() -> None:
     # On OOM, re-exec with B−1 in a FRESH process (failed executions leave
     # buffers that poison in-process retries) and project per-sample.
     B = int(os.environ.get("_BENCH_TRAIN_B_ACTUAL", str(B_target)))
+    micro_cached = os.environ.get("_BENCH_TRAIN_MICRO_RAW")
     try:
-        micro_raw = measure(B)
+        # cached across cycle-OOM re-execs: the B-micro number is already
+        # measured and re-measuring costs ~5 min of compile per attempt
+        micro_raw = float(micro_cached) if micro_cached else measure(B)
     except Exception as e:  # noqa: BLE001
         is_oom = "RESOURCE_EXHAUSTED" in str(e) or "Ran out of memory" in str(e)
         if not is_oom or B <= 1:
@@ -575,7 +578,16 @@ def train_mode() -> None:
         os.execv(sys.executable, [sys.executable] + sys.argv)
 
     # ---- the MEASURED grad-accum cycle: k microbatches + the real optimizer
-    # update, one jitted program (lax.scan), update inside the timing -------
+    # update, one jitted program, update inside the timing. Accumulation is
+    # hand-rolled (scan carries ONLY the bf16 grad accumulator; params and
+    # optimizer state stay loop-invariant inputs, the inner update applies
+    # once after the scan) — numerically what optax.MultiSteps computes, but
+    # the MultiSteps formulation scan-carries tr+moments+acc (~7 GB) which
+    # XLA double-buffers: measured 22.97 G > 15.75 G HBM at the recipe shape.
+    # If even the lean cycle OOMs at the micro batch B, it re-execs with a
+    # smaller cycle batch CB (B→4→2→1, micro number cached): every component
+    # is still timed on device and the composed step is
+    # accum × micro(B) + update_residual(CB) — the residual is B-independent.
     import optax
 
     k_cycle = int(os.environ.get("BENCH_TRAIN_CYCLE", str(accum)))
@@ -587,68 +599,87 @@ def train_mode() -> None:
         inner_tx = adamw8bit(stage.train.proj_lr, weight_decay=stage.train.weight_decay)
     else:
         inner_tx = optax.adamw(stage.train.proj_lr, weight_decay=stage.train.weight_decay)
-    tx = optax.MultiSteps(inner_tx, every_k_schedule=k_cycle)
-    opt_state = jax.jit(tx.init)(trainable)
+    opt_state = jax.jit(inner_tx.init)(trainable)
     jax.block_until_ready(opt_state)
 
-    rngnp = np.random.default_rng(0)
-    c_images = jnp.asarray(rngnp.uniform(0, 1, (B, V, 3, S, S)), mcfg.dtype)
-    c_ids = rngnp.integers(1, mcfg.text.vocab_size, (B, T))
-    c_ids[:, 4] = img_id
-    c_input_ids = jnp.asarray(c_ids)
-    c_mask = jnp.ones((B, T), jnp.int32)
-    c_labels = jnp.asarray(np.where(np.arange(T)[None] < 8, -100, c_ids))
-    c_geom = {
-        "R": jnp.asarray(rngnp.normal(size=(B, V, 9)), jnp.float32),
-        "t": jnp.asarray(rngnp.normal(size=(B, V, 3)), jnp.float32),
-        "K": jnp.asarray(rngnp.normal(size=(B, V, 9)), jnp.float32),
-        "depth_hist": jnp.asarray(rngnp.normal(size=(B, V, 16)), jnp.float32),
-        "mask": jnp.ones((B,), bool),
-    }
+    CB = int(os.environ.get("_BENCH_TRAIN_CB_ACTUAL", str(B)))
 
-    def cycle_loss(tr, frozen, rng):
-        p = dict(frozen)
-        p["projector"] = tr["projector"]
-        p["geom"] = tr["geom"]
-        if "lora" in tr:
-            text = dict(p["text"])
-            text["layers"] = dict(text["layers"], lora=tr["lora"])
-            p["text"] = text
-        return vlm.train_forward(
-            p, mcfg, images=c_images, geom_token=c_geom, input_ids=c_input_ids,
-            attention_mask=c_mask, labels=c_labels, image_token_id=img_id, rng=rng,
-        )
+    def make_cycle(CB: int):
+        rngnp = np.random.default_rng(0)
+        c_images = jnp.asarray(rngnp.uniform(0, 1, (CB, V, 3, S, S)), mcfg.dtype)
+        c_ids = rngnp.integers(1, mcfg.text.vocab_size, (CB, T))
+        c_ids[:, 4] = img_id
+        c_input_ids = jnp.asarray(c_ids)
+        c_mask = jnp.ones((CB, T), jnp.int32)
+        c_labels = jnp.asarray(np.where(np.arange(T)[None] < 8, -100, c_ids))
+        c_geom = {
+            "R": jnp.asarray(rngnp.normal(size=(CB, V, 9)), jnp.float32),
+            "t": jnp.asarray(rngnp.normal(size=(CB, V, 3)), jnp.float32),
+            "K": jnp.asarray(rngnp.normal(size=(CB, V, 9)), jnp.float32),
+            "depth_hist": jnp.asarray(rngnp.normal(size=(CB, V, 16)), jnp.float32),
+            "mask": jnp.ones((CB,), bool),
+        }
 
-    # frozen params enter as an ARGUMENT: closing over them bakes ~5 GB of
-    # weights into the HLO as captured constants — XLA constant-folds over
-    # them (25+ min lowering) and the executable blob balloons
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def accum_cycle(tr, opt_state, frozen, rng):
-        def micro(carry, i):
-            tr, opt_state = carry
-            loss, grads = jax.value_and_grad(cycle_loss)(
-                tr, frozen, jax.random.fold_in(rng, i)
+        def cycle_loss(tr, frozen, rng):
+            p = dict(frozen)
+            p["projector"] = tr["projector"]
+            p["geom"] = tr["geom"]
+            if "lora" in tr:
+                text = dict(p["text"])
+                text["layers"] = dict(text["layers"], lora=tr["lora"])
+                p["text"] = text
+            return vlm.train_forward(
+                p, mcfg, images=c_images, geom_token=c_geom, input_ids=c_input_ids,
+                attention_mask=c_mask, labels=c_labels, image_token_id=img_id, rng=rng,
             )
-            updates, opt_state = tx.update(grads, opt_state, tr)
+
+        # frozen params enter as an ARGUMENT: closing over them bakes ~5 GB
+        # of weights into the HLO as captured constants — XLA constant-folds
+        # over them (25+ min lowering) and the executable blob balloons
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def accum_cycle(tr, opt_state, frozen, rng):
+            def micro(acc, i):
+                loss, grads = jax.value_and_grad(cycle_loss)(
+                    tr, frozen, jax.random.fold_in(rng, i)
+                )
+                acc = jax.tree.map(jnp.add, acc, grads)
+                return acc, loss
+
+            acc0 = jax.tree.map(jnp.zeros_like, tr)
+            acc, losses = jax.lax.scan(micro, acc0, jnp.arange(k_cycle))
+            mean_grads = jax.tree.map(lambda g: g / k_cycle, acc)
+            updates, opt_state = inner_tx.update(mean_grads, opt_state, tr)
             tr = optax.apply_updates(tr, updates)
-            return (tr, opt_state), loss
+            return tr, opt_state, losses.mean()
 
-        (tr, opt_state), losses = jax.lax.scan(
-            micro, (tr, opt_state), jnp.arange(k_cycle)
+        return accum_cycle
+
+    accum_cycle = make_cycle(CB)
+    try:
+        t0 = time.time()
+        trainable, opt_state, mloss = accum_cycle(
+            trainable, opt_state, frozen, jax.random.PRNGKey(9)
         )
-        return tr, opt_state, losses.mean()
+        mloss = float(np.asarray(mloss))
+        print(
+            f"cycle compile+warmup (CB={CB}, {k_cycle} micro + {opt_name} update): "
+            f"{time.time()-t0:.1f}s loss={mloss:.3f}",
+            file=sys.stderr, flush=True,
+        )
+        assert np.isfinite(mloss)
+    except Exception as e:  # noqa: BLE001
+        is_oom = "RESOURCE_EXHAUSTED" in str(e) or "Ran out of memory" in str(e)
+        if not is_oom or CB <= 1:
+            raise
+        nxt = {6: 4, 5: 4, 4: 2, 3: 2, 2: 1}.get(CB, max(1, CB // 2))
+        print(f"cycle CB={CB} OOM — re-exec with CB={nxt} (micro cached)",
+              file=sys.stderr, flush=True)
+        os.environ["_BENCH_TRAIN_CB_ACTUAL"] = str(nxt)
+        os.environ["_BENCH_TRAIN_B_ACTUAL"] = str(B)
+        os.environ["_BENCH_TRAIN_MICRO_RAW"] = repr(micro_raw)
+        os.environ["BENCH_RETRIED"] = "0"  # OOM fallback ≠ transient retry budget
+        os.execv(sys.executable, [sys.executable] + sys.argv)
 
-    t0 = time.time()
-    trainable, opt_state, mloss = accum_cycle(
-        trainable, opt_state, frozen, jax.random.PRNGKey(9)
-    )
-    mloss = float(np.asarray(mloss))
-    print(
-        f"cycle compile+warmup ({k_cycle} micro + {opt_name} update): "
-        f"{time.time()-t0:.1f}s loss={mloss:.3f}",
-        file=sys.stderr, flush=True,
-    )
-    assert np.isfinite(mloss)
     cycle_times = []
     for i in range(2):
         t0 = time.time()
@@ -659,9 +690,12 @@ def train_mode() -> None:
         cycle_times.append(time.time() - t0)
     cycle_s = min(cycle_times)
     # measured residual of the update + accum bookkeeping beyond k raw micros
-    update_s = max(cycle_s - k_cycle * micro_raw, 0.0)
-    # recipe step at the measured batch: accum micros + the measured update
-    step_meas = accum / k_cycle * (cycle_s - update_s) + update_s
+    # at the CYCLE batch (the residual — update math + accumulator adds — does
+    # not depend on batch, so it composes with the B-micro measurement)
+    micro_cb = micro_raw if CB == B else measure(CB)
+    update_s = max(cycle_s - k_cycle * micro_cb, 0.0)
+    # recipe step at the measured micro batch: accum micros + measured update
+    step_meas = accum * micro_raw + update_s
     # per-sample projection to the recipe microbatch (update does not scale
     # with B; only stated when B < recipe B)
     micro_s = micro_raw * (B_target / B)
@@ -688,10 +722,12 @@ def train_mode() -> None:
         f"micro={micro_raw*1000:.0f} ms at B={B} "
         f"({micro_s*1000:.0f} ms per-sample-scaled to recipe B={B_target}; "
         f"V={V} {S}px T={T})\n"
-        f"MEASURED cycle ({k_cycle} micro + {opt_name} update in one program): "
-        f"{cycle_s:.2f}s → recipe step at B={B}: {step_meas:.1f}s "
+        f"MEASURED cycle at CB={CB} ({k_cycle} micro + {opt_name} update in one "
+        f"program): {cycle_s:.2f}s → recipe step at B={B}: {step_meas:.1f}s "
         f"(update residual {update_s*1000:.0f} ms, measured)\n"
-        f"recipe step at B={B_target} (per-sample projection): {step_s:.1f}s, "
+        f"recipe step at B={B_target}"
+        + ("" if B == B_target else " (per-sample projection)")
+        + f": {step_s:.1f}s, "
         f"text tok/s={tok_s:.0f} MFU={mfu*100:.1f}% "
         f"30k steps ≈ {step_s*30000/3600:.1f} h/chip-equivalent; v5e-8 dp8 ≈ same "
         f"step time at 8× global batch",
