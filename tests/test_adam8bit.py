@@ -96,6 +96,47 @@ def test_first_step_matches_exact_adam_bitwise_scale():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0.04)
 
 
+def test_chunked_update_matches_one_shot():
+    """Leaves above chunk_blocks×BLOCK stream through lax.map. Blocks are
+    mathematically independent, so chunking changes nothing but XLA's fusion
+    choices (FMA formation / div-to-mul inside the scan body flip the last
+    ulp) — moment codes must agree to ±1, and updates to ~1 code of
+    feedback (a boundary flip re-enters at scale/127 on later steps).
+    Covers non-BLOCK-multiple leaves (dim 700 →
+    partial last block) and non-chunk-multiple block counts (1914 % 64 ≠ 0
+    → the padded-chunk path)."""
+    params, grad_fn = _problem(4, dim=700)
+    variants = {
+        "one-shot": scale_by_adam8bit(chunk_blocks=1 << 30),
+        "chunk64": scale_by_adam8bit(chunk_blocks=64),
+        "chunk7": scale_by_adam8bit(chunk_blocks=7),
+    }
+    states = {k: tx.init(params) for k, tx in variants.items()}
+    p = {k: jax.tree.map(jnp.copy, params) for k in variants}
+    for _ in range(3):
+        outs = {}
+        for k, tx in variants.items():
+            _, g = grad_fn(p[k])
+            u, states[k] = tx.update(g, states[k], p[k])
+            p[k] = optax.apply_updates(p[k], u)
+            outs[k] = u
+        for k in ("chunk64", "chunk7"):
+            for a, b in zip(
+                jax.tree.leaves(outs["one-shot"]), jax.tree.leaves(outs[k])
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6
+                )
+            for a, b in zip(
+                jax.tree.leaves(states["one-shot"]), jax.tree.leaves(states[k])
+            ):
+                a, b = np.asarray(a), np.asarray(b)
+                if a.dtype == np.int8:  # moment codes: ±1 code of drift
+                    assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() <= 1
+                else:  # scales / count
+                    np.testing.assert_allclose(a, b, rtol=1e-4, atol=0)
+
+
 def test_multisteps_composition():
     """optax.MultiSteps(adamw8bit, k): accumulates k micro-grads then applies
     one 8-bit update — the bench's timed grad-accum cycle shape."""
