@@ -360,6 +360,32 @@ def test_constrained_slots_token_exact_and_spec_blocks(setup):
             assert eng.stats.chunks <= 11, eng.stats.chunks
 
 
+def test_spec_chunk_blocks_amortize_dispatches(setup):
+    """``spec_chunk`` scans several verify blocks into ONE dispatch (the
+    round-4 fix for structured+spec serving measuring SLOWER than classic
+    chunks at 60% acceptance — per-dispatch host overhead dominated a
+    single ~2-token block). Tokens must be identical across spec_chunk
+    settings; the dispatch (chunk) count must shrink."""
+    cfg, params = setup
+    gen_cfg = GenerationConfig(max_new_tokens=16, eos_token_id=None, pad_token_id=0)
+    ids, mask = _prompt(cfg, 21, S=10, bucket=16)
+    ref_toks, _ = _ref_generate(params, cfg, gen_cfg, ids, mask)
+    seed = np.concatenate([ids, ref_toks[None, :].astype(ids.dtype)], axis=1)
+    embeds = np.asarray(qwen3.embed_tokens(params, jnp.asarray(ids)))
+
+    chunks = {}
+    for blocks in (1, 4):
+        eng = SlotEngine(params, cfg, gen_cfg, num_slots=2, max_len=64,
+                         speculative=True, draft_k=4, ngram=3,
+                         spec_chunk=blocks)
+        fut = eng.submit_embeds(embeds, mask, lookup_ids=seed.astype(np.int64))
+        eng.run_until_idle()
+        toks, n = fut.result(timeout=60)
+        assert toks.tolist() == ref_toks[:n].tolist(), f"spec_chunk={blocks}"
+        chunks[blocks] = eng.stats.chunks
+    assert chunks[4] < chunks[1], chunks
+
+
 def test_prefix_cache_with_speculative_token_exact(setup):
     """Shared-prefix KV reuse composes with speculative mode: suffix-only
     admission on a stashed prefix row + verify-block decode is token-exact

@@ -129,7 +129,7 @@ class SlotQAService:
     def __init__(self, stage, tokenizer, params, *, num_slots: int,
                  max_new_tokens: int, prompt_bucket: int, decode_chunk: int = 4,
                  kv_dtype: str = "int8", speculative: bool = False,
-                 draft_k: int = 6, ngram: int = 3) -> None:
+                 draft_k: int = 6, ngram: int = 3, spec_chunk: int = 4) -> None:
         from functools import partial
 
         import jax
@@ -156,6 +156,7 @@ class SlotQAService:
             params["text"], stage.model.text, self.gen_cfg,
             num_slots=num_slots, max_len=max_len, decode_chunk=decode_chunk,
             speculative=speculative, draft_k=draft_k, ngram=ngram,
+            spec_chunk=spec_chunk,
         )
         self.image_token_id = tokenizer.convert_tokens_to_ids(IMAGE_TOKEN)
 
@@ -293,6 +294,9 @@ def main() -> None:
     )
     ap.add_argument("--draft_k", type=int, default=6,
                     help="--speculative: drafted tokens per verify block")
+    ap.add_argument("--spec_chunk", type=int, default=4,
+                    help="--speculative: verify blocks scanned per dispatch "
+                         "(amortizes the per-dispatch host round-trip)")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--mock_vision", action="store_true")
     ap.add_argument(
@@ -327,7 +331,7 @@ def main() -> None:
             num_slots=args.max_batch, max_new_tokens=args.max_new_tokens,
             prompt_bucket=args.prompt_bucket, decode_chunk=args.decode_chunk,
             kv_dtype=args.kv_dtype, speculative=args.speculative,
-            draft_k=args.draft_k,
+            draft_k=args.draft_k, spec_chunk=args.spec_chunk,
         )
     else:
         service = QAService(

@@ -30,11 +30,11 @@ Design — TPU-idiomatic, compile-once, fixed shapes throughout:
   **shared-prefix KV reuse** (``register_prefix`` — system-prompt caching;
   admission then prefills only the request suffix at ``cache_offset=P``).
 - **Speculative continuous batching** (``speculative=True``): each dispatch
-  is ONE prompt-lookup verify block advancing every active slot 1..k+1
-  tokens per weight read (``_spec_chunk`` — the serving adaptation of
-  ``inference/speculative.py``); ``submit_embeds(..., lookup_ids=...)``
-  seeds each slot's draft memory with its TEXT prompt ids. Token-exact vs
-  the classic chunk path and ``engine.generate``.
+  scans ``spec_chunk`` prompt-lookup verify blocks, each advancing every
+  active slot 1..k+1 tokens per weight read (``_spec_chunk`` — the serving
+  adaptation of ``inference/speculative.py``); ``submit_embeds(...,
+  lookup_ids=...)`` seeds each slot's draft memory with its TEXT prompt
+  ids. Token-exact vs the classic chunk path and ``engine.generate``.
 
 Greedy + repetition-penalty semantics are identical to ``engine.generate``
 (same ``ops/sampling`` processors, same seen-buffer rules for the
@@ -316,17 +316,24 @@ def _decode_chunk(params, state, cfg: Qwen3Config, gen_cfg: GenerationConfig, ch
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "gen_cfg", "k", "ngram", "frontier"),
+    static_argnames=("cfg", "gen_cfg", "k", "ngram", "frontier", "blocks"),
     donate_argnums=(1,),
 )
 def _spec_chunk(params, state, cfg: Qwen3Config, gen_cfg: GenerationConfig,
                 k: int, ngram: int, constraint: Optional[jnp.ndarray] = None,
-                frontier: bool = False):
-    """Speculative continuous batching: ONE verify block advances every
-    active slot 1..k+1 tokens per weight read (prompt-lookup drafting —
-    the slots adaptation of ``speculative._iteration_body``; same token
-    semantics as ``_decode_chunk``, different schedule). Returns
-    ``(state, snap)`` with the same packed snapshot contract."""
+                frontier: bool = False, blocks: int = 1):
+    """Speculative continuous batching: ``blocks`` verify blocks per dispatch,
+    each advancing every active slot 1..k+1 tokens per weight read
+    (prompt-lookup drafting — the slots adaptation of
+    ``speculative._iteration_body``; same token semantics as
+    ``_decode_chunk``, different schedule). Scanning several blocks into one
+    compiled program matters on a remote/tunneled backend: the measured
+    per-dispatch overhead (~90 ms host round-trip + scheduling) otherwise
+    dominates a single ~2-token-gain block, which is exactly why one-block
+    structured+spec serving measured SLOWER (18.5 req/s) than classic
+    4-step chunks (21.0) despite 60% draft acceptance. Returns
+    ``(state, snap, accepted)`` with the same packed snapshot contract;
+    ``accepted`` is ``[blocks, B]`` per-block per-slot emission counts."""
     B = state["active"].shape[0]
     N = gen_cfg.max_new_tokens
     T = state["kv_mask"].shape[1]
@@ -334,105 +341,116 @@ def _spec_chunk(params, state, cfg: Qwen3Config, gen_cfg: GenerationConfig,
     rows = jnp.arange(B)
     eos = gen_cfg.eos_token_id
 
-    seen_ids, seen_len = state["seen_ids"], state["seen_len"]
-    ids_buf, ids_start, ids_len = state["ids_buf"], state["ids_start"], state["ids_len"]
-    out, n_gen = state["out"], state["n_gen"]
-    fsm = state["fsm"]
-    budget_eff = jnp.minimum(state["budget"], N)
-    stopped = state["done"] | ~state["active"]
+    def verify_block(state, _):
+        seen_ids, seen_len = state["seen_ids"], state["seen_len"]
+        ids_buf, ids_start, ids_len = (
+            state["ids_buf"], state["ids_start"], state["ids_len"])
+        out, n_gen = state["out"], state["n_gen"]
+        fsm = state["fsm"]
+        budget_eff = jnp.minimum(state["budget"], N)
+        stopped = state["done"] | ~state["active"]
 
-    def processors(logits):
-        l = apply_repetition_penalty(
-            logits, seen_ids, seen_len, gen_cfg.repetition_penalty)
-        return apply_no_repeat_ngram(l, seen_ids, seen_len, gen_cfg.no_repeat_ngram)
+        def processors(logits):
+            l = apply_repetition_penalty(
+                logits, seen_ids, seen_len, gen_cfg.repetition_penalty)
+            return apply_no_repeat_ngram(
+                l, seen_ids, seen_len, gen_cfg.no_repeat_ngram)
 
-    raw0 = state["next_logits"]
-    tok0 = constrained_greedy(raw0, processors(raw0), fsm, constraint)
+        raw0 = state["next_logits"]
+        tok0 = constrained_greedy(raw0, processors(raw0), fsm, constraint)
 
-    # ---- prompt-lookup drafting over the per-slot id history --------------
-    drafts = draft_lookup(ids_buf, ids_start, ids_len, tok0, k, ngram)
+        # ---- prompt-lookup drafting over the per-slot id history ----------
+        drafts = draft_lookup(ids_buf, ids_start, ids_len, tok0, k, ngram)
 
-    # ---- ONE forward over [tok0, drafts] at each slot's own depth ---------
-    block = jnp.concatenate([tok0[:, None], drafts], axis=1)  # [B, k+1]
-    off = jnp.clip(state["write_off"], 0, T - (k + 1))
-    tpos = jnp.arange(T)[None, None, :]
-    base = state["kv_mask"].astype(bool)[:, None, :]
-    inblock = (tpos >= off[:, None, None]) & (
-        (tpos - off[:, None, None]) <= jnp.arange(k + 1)[None, :, None]
-    )
-    amask = base | inblock  # [B, k+1, T]
-    positions = state["rot_pos"][:, None] + jnp.arange(k + 1)[None, :]
-    logits, cache = qwen3.forward(
-        params, cfg, input_ids=block, attention_mask=amask.astype(jnp.int32),
-        positions=positions, cache=state["cache"], cache_offset=off,
-        decode_frontier=frontier,  # contiguous rows until a prefix admission
-    )
-    logits = logits.astype(jnp.float32)
+        # ---- ONE forward over [tok0, drafts] at each slot's own depth -----
+        block = jnp.concatenate([tok0[:, None], drafts], axis=1)  # [B, k+1]
+        off = jnp.clip(state["write_off"], 0, T - (k + 1))
+        tpos = jnp.arange(T)[None, None, :]
+        base = state["kv_mask"].astype(bool)[:, None, :]
+        inblock = (tpos >= off[:, None, None]) & (
+            (tpos - off[:, None, None]) <= jnp.arange(k + 1)[None, :, None]
+        )
+        amask = base | inblock  # [B, k+1, T]
+        positions = state["rot_pos"][:, None] + jnp.arange(k + 1)[None, :]
+        logits, cache = qwen3.forward(
+            params, cfg, input_ids=block, attention_mask=amask.astype(jnp.int32),
+            positions=positions, cache=state["cache"], cache_offset=off,
+            decode_frontier=frontier,  # contiguous rows until a prefix admission
+        )
+        logits = logits.astype(jnp.float32)
 
-    # ---- acceptance: emit tok0, then drafts while they match --------------
-    def record(emit, tok, seen_ids, seen_len, ids_buf, ids_len, out, out_at, fsm):
-        sidx = jnp.clip(seen_len, 0, N - 1)
-        seen_ids = seen_ids.at[rows, sidx].set(jnp.where(emit, tok, seen_ids[rows, sidx]))
-        seen_len = seen_len + emit.astype(jnp.int32)
-        bidx = jnp.clip(ids_len, 0, C - 1)
-        ids_buf = ids_buf.at[rows, bidx].set(jnp.where(emit, tok, ids_buf[rows, bidx]))
-        ids_len = ids_len + emit.astype(jnp.int32)
-        oidx = jnp.clip(out_at, 0, N - 1)
-        out = out.at[rows, oidx].set(jnp.where(emit, tok, out[rows, oidx]))
-        if constraint is not None:
-            nxt = constraint[fsm, tok]
-            fsm = jnp.where(emit, jnp.maximum(nxt, 0), fsm)
-        return seen_ids, seen_len, ids_buf, ids_len, out, fsm
+        # ---- acceptance: emit tok0, then drafts while they match ----------
+        def record(emit, tok, seen_ids, seen_len, ids_buf, ids_len, out, out_at, fsm):
+            sidx = jnp.clip(seen_len, 0, N - 1)
+            seen_ids = seen_ids.at[rows, sidx].set(
+                jnp.where(emit, tok, seen_ids[rows, sidx]))
+            seen_len = seen_len + emit.astype(jnp.int32)
+            bidx = jnp.clip(ids_len, 0, C - 1)
+            ids_buf = ids_buf.at[rows, bidx].set(
+                jnp.where(emit, tok, ids_buf[rows, bidx]))
+            ids_len = ids_len + emit.astype(jnp.int32)
+            oidx = jnp.clip(out_at, 0, N - 1)
+            out = out.at[rows, oidx].set(jnp.where(emit, tok, out[rows, oidx]))
+            if constraint is not None:
+                nxt = constraint[fsm, tok]
+                fsm = jnp.where(emit, jnp.maximum(nxt, 0), fsm)
+            return seen_ids, seen_len, ids_buf, ids_len, out, fsm
 
-    can0 = ~stopped & (n_gen < budget_eff)
-    seen_ids, seen_len, ids_buf, ids_len, out, fsm = record(
-        can0, tok0, seen_ids, seen_len, ids_buf, ids_len, out, n_gen, fsm)
-    a = can0.astype(jnp.int32)
-    hit_eos = can0 & (tok0 == eos) if eos is not None else jnp.zeros((B,), bool)
-    alive = can0 & ~hit_eos & (n_gen + a < budget_eff)
-
-    for j in range(1, k + 1):
-        lprev = logits[:, j - 1]
-        lpen = apply_repetition_penalty(
-            lprev, seen_ids, seen_len, gen_cfg.repetition_penalty)
-        lpen = apply_no_repeat_ngram(lpen, seen_ids, seen_len, gen_cfg.no_repeat_ngram)
-        true_j = constrained_greedy(lprev, lpen, fsm, constraint)
-        accept = alive & (drafts[:, j - 1] == true_j)
+        can0 = ~stopped & (n_gen < budget_eff)
         seen_ids, seen_len, ids_buf, ids_len, out, fsm = record(
-            accept, true_j, seen_ids, seen_len, ids_buf, ids_len, out, n_gen + a, fsm)
-        a = a + accept.astype(jnp.int32)
-        if eos is not None:
-            e = accept & (true_j == eos)
-            hit_eos = hit_eos | e
-            alive = accept & ~e
-        else:
-            alive = accept
-        alive = alive & (n_gen + a < budget_eff)
+            can0, tok0, seen_ids, seen_len, ids_buf, ids_len, out, n_gen, fsm)
+        a = can0.astype(jnp.int32)
+        hit_eos = can0 & (tok0 == eos) if eos is not None else jnp.zeros((B,), bool)
+        alive = can0 & ~hit_eos & (n_gen + a < budget_eff)
 
-    sel = jnp.clip(a - 1, 0, k)
-    gathered = jnp.take_along_axis(logits, sel[:, None, None], axis=1)[:, 0]
-    next_logits = jnp.where((a > 0)[:, None], gathered, state["next_logits"])
-    # mark only the ACCEPTED block columns as valid keys; rejected columns
-    # stay masked (garbage KV) and the next block overwrites them
-    cols = off[:, None] + jnp.arange(k + 1)[None, :]
-    accept_cols = (jnp.arange(k + 1)[None, :] < a[:, None]) & (cols < T)
-    kv_mask = state["kv_mask"].at[rows[:, None], jnp.clip(cols, 0, T - 1)].max(
-        accept_cols.astype(jnp.int32))
-    n_gen = n_gen + a
-    done = state["done"] | hit_eos | (n_gen >= budget_eff)
+        for j in range(1, k + 1):
+            lprev = logits[:, j - 1]
+            lpen = apply_repetition_penalty(
+                lprev, seen_ids, seen_len, gen_cfg.repetition_penalty)
+            lpen = apply_no_repeat_ngram(
+                lpen, seen_ids, seen_len, gen_cfg.no_repeat_ngram)
+            true_j = constrained_greedy(lprev, lpen, fsm, constraint)
+            accept = alive & (drafts[:, j - 1] == true_j)
+            seen_ids, seen_len, ids_buf, ids_len, out, fsm = record(
+                accept, true_j, seen_ids, seen_len, ids_buf, ids_len, out,
+                n_gen + a, fsm)
+            a = a + accept.astype(jnp.int32)
+            if eos is not None:
+                e = accept & (true_j == eos)
+                hit_eos = hit_eos | e
+                alive = accept & ~e
+            else:
+                alive = accept
+            alive = alive & (n_gen + a < budget_eff)
 
-    state = dict(
-        state, cache=cache, kv_mask=kv_mask, write_off=off + a,
-        rot_pos=state["rot_pos"] + a, next_logits=next_logits,
-        seen_ids=seen_ids, seen_len=seen_len, done=done, out=out, n_gen=n_gen,
-        ids_buf=ids_buf, ids_start=ids_start, ids_len=ids_len, fsm=fsm,
-    )
+        sel = jnp.clip(a - 1, 0, k)
+        gathered = jnp.take_along_axis(logits, sel[:, None, None], axis=1)[:, 0]
+        next_logits = jnp.where((a > 0)[:, None], gathered, state["next_logits"])
+        # mark only the ACCEPTED block columns as valid keys; rejected columns
+        # stay masked (garbage KV) and the next block overwrites them
+        cols = off[:, None] + jnp.arange(k + 1)[None, :]
+        accept_cols = (jnp.arange(k + 1)[None, :] < a[:, None]) & (cols < T)
+        kv_mask = state["kv_mask"].at[rows[:, None], jnp.clip(cols, 0, T - 1)].max(
+            accept_cols.astype(jnp.int32))
+        n_gen = n_gen + a
+        done = state["done"] | hit_eos | (n_gen >= budget_eff)
+
+        state = dict(
+            state, cache=cache, kv_mask=kv_mask, write_off=off + a,
+            rot_pos=state["rot_pos"] + a, next_logits=next_logits,
+            seen_ids=seen_ids, seen_len=seen_len, done=done, out=out, n_gen=n_gen,
+            ids_buf=ids_buf, ids_start=ids_start, ids_len=ids_len, fsm=fsm,
+        )
+        return state, a
+
+    state, accepted = jax.lax.scan(verify_block, state, None, length=blocks)
     snap = jnp.concatenate(
-        [done.astype(jnp.int32)[:, None], n_gen[:, None], out], axis=1)
-    # per-slot accepted counts (incl. tok0; 0 = slot idle this block) — the
-    # host's acceptance guard reads these with the LAGGED snapshot fetch, so
-    # they never add a blocking round-trip
-    return state, snap, a
+        [state["done"].astype(jnp.int32)[:, None], state["n_gen"][:, None],
+         state["out"]], axis=1)
+    # per-block per-slot accepted counts (incl. tok0; 0 = slot idle that
+    # block) — the host's acceptance guard reads these with the LAGGED
+    # snapshot fetch, so they never add a blocking round-trip
+    return state, snap, accepted
 
 
 # ---------------------------------------------------------------------------
@@ -485,7 +503,7 @@ class SlotEngine:
     def __init__(self, params, cfg: Qwen3Config, gen_cfg: GenerationConfig, *,
                  num_slots: int, max_len: int, decode_chunk: int = 4,
                  speculative: bool = False, draft_k: int = 6,
-                 ngram: int = 3, constraint=None,
+                 ngram: int = 3, spec_chunk: int = 4, constraint=None,
                  spec_min_gain: float = 1.35,
                  spec_guard_window: int = 8) -> None:
         self.params = params
@@ -503,6 +521,11 @@ class SlotEngine:
         self.speculative = speculative
         self.draft_k = draft_k
         self.ngram = ngram
+        # verify blocks scanned into ONE dispatch — same amortization as
+        # decode_chunk: per-dispatch host overhead (~90 ms measured through
+        # the tunneled backend) must spread over several weight reads, or a
+        # ~2-token-gain block loses to classic 4-step chunks outright
+        self.spec_chunk = spec_chunk
         # Acceptance guard: a verify block (one [B, k+1] forward) only pays
         # for itself when active slots average > ~1 emitted token per block;
         # measured worst case is 12.3 vs 34.2 req/s on zero-acceptance free
@@ -705,7 +728,7 @@ class SlotEngine:
                     self.state, snap, accepted = _spec_chunk(
                         self.params, self.state, self.cfg, self.gen_cfg,
                         self.draft_k, self.ngram, self.constraint,
-                        frontier=self._frontier_ok,
+                        frontier=self._frontier_ok, blocks=self.spec_chunk,
                     )
                 else:
                     self.state, snap = _decode_chunk(
@@ -737,17 +760,18 @@ class SlotEngine:
         slot gain under-runs ``spec_min_gain`` over the window."""
         if accepted is None or not self.spec_min_gain:
             return
-        a = np.asarray(accepted)
-        active = a > 0
-        if not active.any():
-            return
-        gain = float(a[active].mean())
-        self.stats.spec_blocks += 1
-        self.stats.spec_accepted += int(a.sum())
+        blocks = np.atleast_2d(np.asarray(accepted))  # [blocks, B]
         w = self._spec_gain_window
-        w.append(gain)
+        for a in blocks:
+            active = a > 0
+            if not active.any():
+                continue
+            gain = float(a[active].mean())
+            self.stats.spec_blocks += 1
+            self.stats.spec_accepted += int(a.sum())
+            w.append(gain)
         if len(w) > self.spec_guard_window:
-            del w[0]
+            del w[: len(w) - self.spec_guard_window]
         if (
             self.speculative
             and len(w) == self.spec_guard_window
