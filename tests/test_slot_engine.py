@@ -493,3 +493,72 @@ def test_kv_occupancy_measurement(setup):
     assert eng.stats.kv_reserved_token_chunks > 0
     # 4 slots × 32-row reserve vs ~8-12 live tokens each → well under half
     assert u < 0.6
+
+
+def test_batched_admission_token_exact_and_fewer_dispatches(setup):
+    """VERDICT r4 item 3: a burst of same-bucket arrivals admits in batched
+    dispatches (power-of-two chunks), token-exact vs the per-request B=1
+    admission path and vs engine.generate."""
+    cfg, params = setup
+    gen_cfg = GenerationConfig(max_new_tokens=8, eos_token_id=None, pad_token_id=0,
+                               repetition_penalty=1.1)
+    burst = []
+    for seed in range(7):  # mixed lengths, same bucket
+        ids, mask = _prompt(cfg, 100 + seed, S=7 + (seed % 4), bucket=16)
+        embeds = np.asarray(qwen3.embed_tokens(params, jnp.asarray(ids)))
+        burst.append((ids, mask, embeds))
+
+    outs = {}
+    for batch_max in (1, 4):
+        eng = SlotEngine(params, cfg, gen_cfg, num_slots=8, max_len=48,
+                         decode_chunk=2, admit_batch_max=batch_max)
+        futs = [eng.submit_embeds(e, m, max_new_tokens=5 + i % 3)
+                for i, (_, m, e) in enumerate(burst)]
+        eng.run_until_idle()
+        outs[batch_max] = [f.result(timeout=1) for f in futs]
+        if batch_max == 1:
+            assert eng.stats.admit_dispatches == 7
+        else:
+            # 7 same-bucket requests → chunks of 4 + 2 + 1 = 3 dispatches
+            assert eng.stats.admit_dispatches == 3
+        assert eng.stats.admission_wait_s >= 0.0
+
+    for (toks_b, n_b), (toks_1, n_1) in zip(outs[4], outs[1]):
+        assert n_b == n_1
+        np.testing.assert_array_equal(toks_b, toks_1)
+    # and vs the monolithic engine (budget-truncated)
+    for i, (ids, mask, _) in enumerate(burst):
+        ref_toks, _ = _ref_generate(params, cfg, gen_cfg, ids, mask)
+        n = 5 + i % 3
+        np.testing.assert_array_equal(outs[4][i][0], ref_toks[:n])
+
+
+def test_batched_admission_mixed_buckets_and_spec(setup):
+    """Buckets group independently (one batched dispatch per (S, L) bucket);
+    speculative mode threads lookup_ids through the batched path."""
+    cfg, params = setup
+    gen_cfg = GenerationConfig(max_new_tokens=8, eos_token_id=None, pad_token_id=0)
+    reqs = []
+    for seed in range(6):
+        bucket = 16 if seed % 2 == 0 else 24
+        ids, mask = _prompt(cfg, 200 + seed, S=6 + seed % 3, bucket=bucket)
+        embeds = np.asarray(qwen3.embed_tokens(params, jnp.asarray(ids)))
+        reqs.append((ids, mask, embeds))
+
+    outs = {}
+    for batch_max in (1, 8):
+        eng = SlotEngine(params, cfg, gen_cfg, num_slots=6, max_len=64,
+                         decode_chunk=2, speculative=True, draft_k=3, ngram=2,
+                         spec_chunk=2, spec_min_gain=0.0,
+                         admit_batch_max=batch_max)
+        futs = [eng.submit_embeds(e, m, lookup_ids=ids.astype(np.int32))
+                for ids, m, e in reqs]
+        eng.run_until_idle()
+        outs[batch_max] = [f.result(timeout=1) for f in futs]
+        if batch_max == 8:
+            # two buckets of 3 → (2+1) + (2+1) = 4 dispatches
+            assert eng.stats.admit_dispatches == 4
+
+    for (toks_b, n_b), (toks_1, n_1) in zip(outs[8], outs[1]):
+        assert n_b == n_1
+        np.testing.assert_array_equal(toks_b, toks_1)

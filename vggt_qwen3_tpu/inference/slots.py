@@ -186,6 +186,66 @@ def _admit_prefixed(params, state, cfg: Qwen3Config, slot: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def _admit_batch(params, state, cfg: Qwen3Config, slots: jnp.ndarray,
+                 inputs_embeds: jnp.ndarray, attention_mask: jnp.ndarray,
+                 budgets: jnp.ndarray, lookup_ids: jnp.ndarray):
+    """Admit ``A`` same-bucket prompts in ONE dispatch (VERDICT r4 item 3).
+
+    A burst of arrivals used to pay one serialized B=1 prefill dispatch per
+    request — ~90 ms of host round-trip + scheduling EACH through the
+    tunneled backend before any of them could decode. Here the A prompts
+    prefill as one batched forward over A gathered cache rows, and every
+    slot-bookkeeping update is one scatter. Token-exact vs A sequential
+    :func:`_admit` calls: prefill attention is per-row (left-padded masks,
+    per-row positions), so batching the rows changes no math.
+
+    Args: ``slots`` [A] int32 (distinct), ``inputs_embeds`` [A, S, H],
+    ``attention_mask`` [A, S], ``budgets`` [A], ``lookup_ids`` [A, L].
+    """
+    A, S = attention_mask.shape
+    T = state["kv_mask"].shape[1]
+    row_cache = jax.tree.map(lambda a: jnp.take(a, slots, axis=1), state["cache"])
+    positions = jnp.maximum(jnp.cumsum(attention_mask, axis=-1) - 1, 0)
+    row_mask = jnp.zeros((A, T), jnp.int32).at[:, :S].set(attention_mask)
+    logits, row_cache = qwen3.forward(
+        params, cfg, inputs_embeds=inputs_embeds, attention_mask=row_mask,
+        positions=positions, cache=row_cache, cache_offset=0,
+        prefill_padding="left", last_logit_only=True,
+    )
+    cache = jax.tree.map(
+        lambda full, row: full.at[:, slots].set(row.astype(full.dtype)),
+        state["cache"], row_cache,
+    )
+    # vectorized _arm_lookup: matchable window starts at the first nonzero id
+    C = state["ids_buf"].shape[1]
+    L = lookup_ids.shape[1]
+    ids32 = lookup_ids.astype(jnp.int32)
+    ids_rows = jnp.zeros((A, C), jnp.int32).at[:, :L].set(ids32)
+    nz = ids32 != 0
+    starts = jnp.where(nz.any(axis=1), jnp.argmax(nz, axis=1).astype(jnp.int32), L)
+    zA = jnp.zeros((A,), jnp.int32)
+    return dict(
+        state,
+        cache=cache,
+        kv_mask=state["kv_mask"].at[slots].set(row_mask),
+        write_off=state["write_off"].at[slots].set(S),
+        rot_pos=state["rot_pos"].at[slots].set(attention_mask.sum(-1)),
+        next_logits=state["next_logits"].at[slots].set(logits[:, -1]),
+        seen_ids=state["seen_ids"].at[slots].set(0),
+        seen_len=state["seen_len"].at[slots].set(zA),
+        active=state["active"].at[slots].set(True),
+        done=state["done"].at[slots].set(False),
+        out=state["out"].at[slots].set(0),
+        n_gen=state["n_gen"].at[slots].set(zA),
+        budget=state["budget"].at[slots].set(budgets),
+        fsm=state["fsm"].at[slots].set(zA),
+        ids_buf=state["ids_buf"].at[slots].set(ids_rows),
+        ids_start=state["ids_start"].at[slots].set(starts),
+        ids_len=state["ids_len"].at[slots].set(jnp.full((A,), L, jnp.int32)),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
 def _admit(params, state, cfg: Qwen3Config, slot: jnp.ndarray,
            inputs_embeds: jnp.ndarray, attention_mask: jnp.ndarray,
            budget: jnp.ndarray, lookup_ids: Optional[jnp.ndarray] = None):
@@ -475,6 +535,9 @@ class SlotStats:
     chunks: int = 0
     admitted_mid_decode: int = 0
     tokens: int = 0
+    admit_dispatches: int = 0     # admission programs dispatched (≤ requests
+    # with batched admission; == non-rejected requests without it)
+    admission_wait_s: float = 0.0  # Σ (admit time − submit time) over requests
     admission_log: List[Tuple[int, int]] = field(default_factory=list)  # (chunk_idx, slot)
     spec_blocks: int = 0          # speculative verify blocks executed
     spec_accepted: int = 0        # tokens emitted by those blocks (incl. tok0)
@@ -505,7 +568,9 @@ class SlotEngine:
                  speculative: bool = False, draft_k: int = 6,
                  ngram: int = 3, spec_chunk: int = 4, constraint=None,
                  spec_min_gain: float = 1.35,
-                 spec_guard_window: int = 8) -> None:
+                 spec_guard_window: int = 8,
+                 admit_batch_max: int = 8,
+                 track_metrics: bool = False) -> None:
         self.params = params
         self.cfg = cfg
         self.gen_cfg = gen_cfg
@@ -536,6 +601,16 @@ class SlotEngine:
         # disables the guard.
         self.spec_min_gain = spec_min_gain
         self.spec_guard_window = spec_guard_window
+        # largest batched-admission dispatch (power-of-two chunking; 1
+        # disables batching and restores the per-request B=1 admit path)
+        self.admit_batch_max = max(1, admit_batch_max)
+        # opt-in per-request latency metrics (SLA benchmarking): future →
+        # {"submit", "admit", "first_tok", "done", "n"} wall times. first_tok
+        # is observed at CHUNK granularity from the lagged snapshots (the
+        # engine delivers whole responses; a streaming API would tighten it
+        # by up to one chunk). Caller pops entries via ``req_meta.pop(fut)``.
+        self.track_metrics = track_metrics
+        self.req_meta: Dict[object, Dict[str, float]] = {}
         self._spec_gain_window: List[float] = []
         # engine-wide schema FSM ([num_states, vocab] int32 — see
         # inference/constrained.py); every request decodes under it
@@ -636,11 +711,15 @@ class SlotEngine:
 
     def _admit_pending(self) -> None:
         was_decoding = self._any_active()
-        for slot in self._free_slots():
+        # pop up to len(free slots) requests, validate, pair each with a slot
+        free = self._free_slots()
+        paired: List[Tuple[int, _Pending]] = []
+        fi = 0
+        while fi < len(free):
             try:
                 req = self.queue.get_nowait()
             except Empty:
-                return
+                break
             S = req.inputs_embeds.shape[1]
             P = 0 if req.prefix_id is None else self.prefixes[req.prefix_id][2]
             if P + S > self.max_len - self.gen_cfg.max_new_tokens:
@@ -648,34 +727,100 @@ class SlotEngine:
                     ValueError(f"prompt length {P}+{S} exceeds slot budget "
                                f"{self.max_len - self.gen_cfg.max_new_tokens}")
                 )
+                continue  # rejected request consumes no slot
+            paired.append((free[fi], req))
+            fi += 1
+        if not paired:
+            return
+
+        now = time.time()
+        # group same-shape plain admissions into ONE batched dispatch each
+        # (VERDICT r4 item 3 — a burst no longer pays per-request dispatches);
+        # prefixed admissions keep the B=1 path (each carries its own stashed
+        # prefix row). Group key = (prompt bucket, lookup bucket).
+        groups: Dict[Tuple[int, int], List[Tuple[int, _Pending]]] = {}
+        singles: List[Tuple[int, _Pending]] = []
+        for slot, req in paired:
+            if req.prefix_id is not None:
+                singles.append((slot, req))
                 continue
-            budget = jnp.int32(req.max_new_tokens or self.gen_cfg.max_new_tokens)
-            # always pass an array (zeros = empty draft memory) so the admit
-            # program traces once per prompt bucket
-            lids = jnp.asarray(
-                req.lookup_ids if req.lookup_ids is not None
-                else np.zeros_like(req.attention_mask), jnp.int32)
-            if req.prefix_id is None:
-                self.state = _admit(
-                    self.params, self.state, self.cfg, jnp.int32(slot),
-                    jnp.asarray(req.inputs_embeds),
-                    jnp.asarray(req.attention_mask, jnp.int32), budget, lids,
-                )
-            else:
-                self._frontier_ok = False  # holed row lives in the cache now
-                cache, mask, _ = self.prefixes[req.prefix_id]
-                self.state = _admit_prefixed(
-                    self.params, self.state, self.cfg, jnp.int32(slot),
-                    jnp.asarray(req.inputs_embeds),
-                    jnp.asarray(req.attention_mask, jnp.int32), budget,
-                    cache, mask, jnp.int32(P), lids,
-                )
+            lkL = (req.lookup_ids.shape[1] if req.lookup_ids is not None
+                   else req.attention_mask.shape[1])
+            groups.setdefault(
+                (req.inputs_embeds.shape[1], lkL), []
+            ).append((slot, req))
+
+        def lids_of(req) -> np.ndarray:
+            return (req.lookup_ids if req.lookup_ids is not None
+                    else np.zeros_like(req.attention_mask))
+
+        for (S, lkL), members in groups.items():
+            i = 0
+            while i < len(members):
+                # largest power-of-two chunk ≤ remaining: few trace shapes
+                # per bucket (A ∈ {1, 2, 4, 8, ...}), no padded prefill work
+                rem = len(members) - i
+                A = 1
+                while A * 2 <= rem and A * 2 <= self.admit_batch_max:
+                    A *= 2
+                chunk = members[i : i + A]
+                i += A
+                if A == 1:
+                    slot, req = chunk[0]
+                    self.state = _admit(
+                        self.params, self.state, self.cfg, jnp.int32(slot),
+                        jnp.asarray(req.inputs_embeds),
+                        jnp.asarray(req.attention_mask, jnp.int32),
+                        jnp.int32(req.max_new_tokens or self.gen_cfg.max_new_tokens),
+                        jnp.asarray(lids_of(req), jnp.int32),
+                    )
+                else:
+                    self.state = _admit_batch(
+                        self.params, self.state, self.cfg,
+                        jnp.asarray([s for s, _ in chunk], jnp.int32),
+                        jnp.asarray(np.concatenate(
+                            [r.inputs_embeds for _, r in chunk], axis=0)),
+                        jnp.asarray(np.concatenate(
+                            [r.attention_mask for _, r in chunk], axis=0), jnp.int32),
+                        jnp.asarray(
+                            [r.max_new_tokens or self.gen_cfg.max_new_tokens
+                             for _, r in chunk], jnp.int32),
+                        jnp.asarray(np.concatenate(
+                            [lids_of(r) for _, r in chunk], axis=0), jnp.int32),
+                    )
+                self.stats.admit_dispatches += 1
+                self._post_admit(chunk, was_decoding, now)
+
+        for slot, req in singles:
+            P = self.prefixes[req.prefix_id][2]
+            self._frontier_ok = False  # holed row lives in the cache now
+            cache, mask, _ = self.prefixes[req.prefix_id]
+            self.state = _admit_prefixed(
+                self.params, self.state, self.cfg, jnp.int32(slot),
+                jnp.asarray(req.inputs_embeds),
+                jnp.asarray(req.attention_mask, jnp.int32),
+                jnp.int32(req.max_new_tokens or self.gen_cfg.max_new_tokens),
+                cache, mask, jnp.int32(P),
+                jnp.asarray(lids_of(req), jnp.int32),
+            )
+            self.stats.admit_dispatches += 1
+            self._post_admit([(slot, req)], was_decoding, now)
+
+    def _post_admit(self, chunk: List[Tuple[int, "_Pending"]],
+                    was_decoding: bool, now: float) -> None:
+        for slot, req in chunk:
+            P = 0 if req.prefix_id is None else self.prefixes[req.prefix_id][2]
             self.slot_futures[slot] = req.future
             self._slot_admit_boundary[slot] = self._chunk_idx + 1
             self._slot_prompt_tokens[slot] = P + int(
                 np.asarray(req.attention_mask).sum()
             )
             self.stats.requests += 1
+            if req.submitted_at:
+                self.stats.admission_wait_s += now - req.submitted_at
+            if self.track_metrics:
+                self.req_meta[req.future] = {
+                    "submit": req.submitted_at or now, "admit": now}
             # diagnostics only — cap so a long-running daemon can't leak
             if len(self.stats.admission_log) < 4096:
                 self.stats.admission_log.append((self._chunk_idx, slot))
@@ -703,6 +848,15 @@ class SlotEngine:
         )
         self.stats.kv_used_token_chunks += used
         self.stats.kv_reserved_token_chunks += self.num_slots * self._row_len
+        if self.track_metrics:
+            now = time.time()
+            for i, fut in enumerate(self.slot_futures):
+                if (fut is None or self._slot_admit_boundary[i] > snap_idx
+                        or int(n_gen[i]) <= 0):
+                    continue
+                meta = self.req_meta.get(fut)
+                if meta is not None and "first_tok" not in meta:
+                    meta["first_tok"] = now
         for i, fut in enumerate(self.slot_futures):
             if fut is None or not done[i] or self._slot_admit_boundary[i] > snap_idx:
                 continue
@@ -712,6 +866,12 @@ class SlotEngine:
             # engine.generate's lengths semantics; decode(skip_special_tokens)
             # hides it from the visible text
             self.stats.tokens += n
+            if self.track_metrics:
+                meta = self.req_meta.get(fut)
+                if meta is not None:
+                    meta.setdefault("first_tok", time.time())
+                    meta["done"] = time.time()
+                    meta["n"] = n
             fut.set_result((toks.copy(), n))
             self.slot_futures[i] = None
             self.state = dict(
