@@ -315,3 +315,32 @@ def test_resume_equivalence_cli(tmp_path):
         assert step in full and step in split, (full.keys(), split.keys())
         np.testing.assert_allclose(split[step], full[step], rtol=1e-5,
                                    err_msg=f"step {step}")
+
+
+def test_prefetch_loader_bit_identical_and_propagates_errors(toy_dir):
+    """VERDICT r4 item 7: the default-on prefetch thread changes WHEN batches
+    are built, never WHAT — the stream is bit-identical to the synchronous
+    loader, and a producer exception surfaces at the consumer."""
+    from vggt_qwen3_tpu.data.collator import prefetch_iter
+
+    tok = load_tokenizer(None)
+    ds = MultiViewJsonDataset(DatasetConfig(str(toy_dir / "train.jsonl"), 1, 56, "qa"))
+    coll = MultiViewCollator(56, tok, max_length=96, num_vis_tokens=4, geom_tokens=0)
+    sync = data_loader(ds, coll, batch_size=4, seed=3, prefetch_batches=0)
+    pre = data_loader(ds, coll, batch_size=4, seed=3, prefetch_batches=2)
+    for _ in range(6):
+        a, b = next(sync), next(pre)
+        la = jax.tree.leaves(a)
+        lb = jax.tree.leaves(b)
+        assert jax.tree.structure(a) == jax.tree.structure(b)
+        for x, y in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def boom():
+        yield {"ok": 1}
+        raise RuntimeError("producer failed")
+
+    it = prefetch_iter(boom(), depth=2)
+    assert next(it) == {"ok": 1}
+    with pytest.raises(RuntimeError, match="producer failed"):
+        next(it)

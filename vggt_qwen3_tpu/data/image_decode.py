@@ -10,11 +10,11 @@ libpng), writing straight into preallocated numpy buffers.
 Parity note: PNG decode is bit-exact vs PIL by construction (lossless
 format, same normalization rules as ``convert("RGB")``). JPEG decode is the
 same libjpeg family PIL wraps, but a different build may differ by ±1 in a
-few pixels (IDCT rounding) — irrelevant to the bf16 model yet not
-bit-parity, so the native path is **opt-in** for training throughput
-(``VGGT_NATIVE_DECODE=1`` or ``decode_batch_rgb(..., native=True)``) and
-eval-parity paths keep PIL (``tests/test_image_decode.py`` gates both
-claims).
+few pixels (IDCT rounding) — irrelevant to the bf16 model yet not strict
+bit-parity. The native path is **default-on when the .so exists** (r4 made
+it opt-in; r5 flips it per VERDICT item 7 — the ±1 JPEG deviation is noise
+at bf16 model precision); ``VGGT_NATIVE_DECODE=0`` restores PIL everywhere
+for a bit-parity audit (``tests/test_image_decode.py`` gates both claims).
 """
 
 from __future__ import annotations
@@ -70,7 +70,10 @@ def native_available() -> bool:
 
 
 def native_default() -> bool:
-    return os.environ.get("VGGT_NATIVE_DECODE", "0") == "1" and native_available()
+    """Default-ON when the .so exists (VERDICT r4 item 7); opt out with
+    ``VGGT_NATIVE_DECODE=0`` (e.g. a JPEG-bit-parity eval audit — PNG is
+    bit-exact either way, JPEG may differ ±1 in a few pixels vs PIL)."""
+    return os.environ.get("VGGT_NATIVE_DECODE", "1") == "1" and native_available()
 
 
 def _decode_pil(path: str) -> np.ndarray:

@@ -266,7 +266,12 @@ def main() -> None:
 
     stop_step = min(max_steps, args.stop_at_step) if args.stop_at_step else max_steps
     step = start_step
-    for batch in loader:
+    loader_stall_s = 0.0  # host time blocked on the (prefetched) loader
+    loader_it = iter(loader)
+    while True:
+        t_fetch = time.time()
+        batch = next(loader_it)
+        loader_stall_s += time.time() - t_fetch
         if step >= stop_step:
             break
         has_geom = batch["geom_token"] is not None
@@ -295,9 +300,13 @@ def main() -> None:
                     "grad_norm": float(metrics["grad_norm"]),
                     "learning_rate_base": float(base_sched(step)),
                     "learning_rate_proj": float(proj_sched(step)),
+                    # ≈0 when prefetch keeps up; grows when host decode+
+                    # collation can't hide under device step time
+                    "loader_stall_s": loader_stall_s,
                 },
                 max_steps=max_steps,
             )
+            loader_stall_s = 0.0
         step += 1
         if stage.train.save_every_steps and step % stage.train.save_every_steps == 0:
             ckpt.save(state, out_dir / f"step_{step}")
