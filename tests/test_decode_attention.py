@@ -128,40 +128,72 @@ def test_eligibility_gate():
     assert not decode_attention_eligible(368, 32, 8, 152, 128, jnp.bfloat16)
 
 
+def _engine_cfg(seed=0):
+    """Kernel-ELIGIBLE engine dims: num_kv_heads=4 so NKV·T = 4·32 = 128
+    satisfies the (NKV·T) % 128 flatten constraint — with num_kv_heads=2 the
+    kernel silently fell back to XLA and the r4 versions of these engine
+    tests compared XLA to itself (caught in r5; the on-chip bench A/B used
+    B=368, T=160 → eligible, so the perf claims stand)."""
+    from vggt_qwen3_tpu.config import Qwen3Config
+
+    return Qwen3Config(
+        vocab_size=256, hidden_size=512, num_layers=2, num_heads=4,
+        num_kv_heads=4, head_dim=128, intermediate_size=256, rope_theta=1e4,
+        tie_word_embeddings=True, dtype="float32",
+    )
+
+
+def count_dispatch(monkeypatch, module, name):
+    """Wrap ``module.name`` with a trace-time call counter. Env-flag A/B in
+    ONE process must also ``jax.clear_caches()`` between modes — the env
+    flags are read at trace time and jit cache keys don't include them, so a
+    cached trace from the previous mode would otherwise be reused (the other
+    half of the r4 vacuity)."""
+    counter = {"n": 0}
+    orig = getattr(module, name)
+
+    def wrapped(*a, **k):
+        counter["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(module, name, wrapped)
+    return counter
+
+
 def test_engine_generate_token_exact_with_forced_kernel(monkeypatch):
     """Engine-level dispatch gate: VGGT_DECODE_KERNEL=force routes the S=1
     decode steps through the fused kernel (interpreter off-TPU) and the
     generated tokens must equal the XLA path's, including left padding and
-    int8 KV."""
-    from vggt_qwen3_tpu.config import Qwen3Config
+    int8 KV. Dispatch is ASSERTED (trace-time call counter), not assumed."""
+    import vggt_qwen3_tpu.ops.decode_attention as da
     from vggt_qwen3_tpu.inference.engine import GenerationConfig, generate_text
     from vggt_qwen3_tpu.models import qwen3
 
-    cfg = Qwen3Config(
-        vocab_size=256, hidden_size=512, num_layers=2, num_heads=4,
-        num_kv_heads=2, head_dim=128, intermediate_size=256, rope_theta=1e4,
-        tie_word_embeddings=True, dtype="float32",
-    )
+    cfg = _engine_cfg()
     params = qwen3.init_params(jax.random.PRNGKey(0), cfg, dtype="float32")
     rng = np.random.default_rng(0)
-    # B·T = 160·32 ≥ 4096 and T = 16+16 = 32 tile-aligned → kernel-eligible
-    B_eng = 160
+    B_eng = 160  # B·T = 160·32 ≥ 4096, T = 16+16 = 32 tile-aligned
     ids = rng.integers(1, 256, (B_eng, 16))
     mask = np.ones_like(ids)
     ids[:3, :5] = 0
     mask[:3, :5] = 0  # left padding on a few rows
     gen_cfg = GenerationConfig(max_new_tokens=16, pad_token_id=0, kv_dtype="int8")
 
+    counter = count_dispatch(monkeypatch, da, "gqa_decode_attention")
     monkeypatch.setenv("VGGT_DECODE_KERNEL", "0")
+    jax.clear_caches()
     ref, _ = generate_text(
         params, cfg, gen_cfg, input_ids=jnp.asarray(ids),
         attention_mask=jnp.asarray(mask),
     )
+    assert counter["n"] == 0
     monkeypatch.setenv("VGGT_DECODE_KERNEL", "force")
+    jax.clear_caches()
     got, _ = generate_text(
         params, cfg, gen_cfg, input_ids=jnp.asarray(ids),
         attention_mask=jnp.asarray(mask),
     )
+    assert counter["n"] > 0, "kernel never dispatched — test would be vacuous"
     assert np.asarray(got).tolist() == np.asarray(ref).tolist()
 
 
@@ -169,14 +201,11 @@ def test_per_row_decode_forced_kernel_matches_xla(monkeypatch):
     """The continuous-batching decode shape: [B] per-row cache offsets with a
     [B, T] frontier mask (each slot at its own depth). Forced-kernel forward
     must match the XLA path bit-for-bit in greedy terms."""
-    from vggt_qwen3_tpu.config import Qwen3Config
+    import vggt_qwen3_tpu.ops.decode_attention as da
     from vggt_qwen3_tpu.models import qwen3
 
-    cfg = Qwen3Config(
-        vocab_size=256, hidden_size=512, num_layers=2, num_heads=4,
-        num_kv_heads=2, head_dim=128, intermediate_size=256, rope_theta=1e4,
-        tie_word_embeddings=True, dtype="float32",
-    )
+    cfg = _engine_cfg()
+    counter = count_dispatch(monkeypatch, da, "gqa_decode_attention")
     params = qwen3.init_params(jax.random.PRNGKey(4), cfg, dtype="float32")
     rng = np.random.default_rng(4)
     B_pr, T_pr = 160, 32
@@ -206,6 +235,7 @@ def test_per_row_decode_forced_kernel_matches_xla(monkeypatch):
     outs = {}
     for mode in ("0", "force"):
         monkeypatch.setenv("VGGT_DECODE_KERNEL", mode)
+        jax.clear_caches()
         logits, _ = qwen3.forward(
             params, cfg, inputs_embeds=demb,
             attention_mask=jnp.asarray(kv_mask2),
@@ -214,6 +244,7 @@ def test_per_row_decode_forced_kernel_matches_xla(monkeypatch):
             decode_frontier=True,
         )
         outs[mode] = np.asarray(logits[:, 0])
+    assert counter["n"] > 0, "kernel never dispatched — test would be vacuous"
     assert np.argmax(outs["0"], -1).tolist() == np.argmax(outs["force"], -1).tolist()
     np.testing.assert_allclose(outs["force"], outs["0"], rtol=3e-2, atol=3e-3)
 
@@ -270,16 +301,13 @@ def test_block_verify_s1_equals_decode_kernel():
 def test_speculative_generate_token_exact_with_forced_kernel(monkeypatch):
     """The speculative engine's verify blocks route through the fused
     block-verify kernel under force — tokens must equal the XLA path's."""
-    from vggt_qwen3_tpu.config import Qwen3Config
+    import vggt_qwen3_tpu.ops.decode_attention as da
     from vggt_qwen3_tpu.inference.engine import GenerationConfig
     from vggt_qwen3_tpu.inference.speculative import generate_speculative
     from vggt_qwen3_tpu.models import qwen3
 
-    cfg = Qwen3Config(
-        vocab_size=256, hidden_size=512, num_layers=2, num_heads=4,
-        num_kv_heads=2, head_dim=128, intermediate_size=256, rope_theta=1e4,
-        tie_word_embeddings=True, dtype="float32",
-    )
+    cfg = _engine_cfg()
+    counter = count_dispatch(monkeypatch, da, "gqa_block_verify_attention")
     params = qwen3.init_params(jax.random.PRNGKey(9), cfg, dtype="float32")
     rng = np.random.default_rng(9)
     B_eng = 160  # B·T = 160·32 ≥ 4096, T = 12+20 = 32 tile-aligned
@@ -291,11 +319,13 @@ def test_speculative_generate_token_exact_with_forced_kernel(monkeypatch):
     outs = {}
     for mode in ("0", "force"):
         monkeypatch.setenv("VGGT_DECODE_KERNEL", mode)
+        jax.clear_caches()
         toks, lens, _ = generate_speculative(
             params, cfg, gen_cfg, inputs_embeds=emb, attention_mask=mask,
             prompt_ids=jnp.asarray(ids), draft_k=3, ngram=2,
         )
         outs[mode] = (np.asarray(toks).tolist(), np.asarray(lens).tolist())
+    assert counter["n"] > 0, "verify kernel never dispatched — vacuous"
     assert outs["force"] == outs["0"]
 
 
@@ -304,16 +334,13 @@ def test_speculative_forced_kernel_with_dead_rows(monkeypatch):
     are discarded); kernel and XLA garbage differ, so exactness must come
     from the engine's alive-gating — prove tokens and lengths still match
     when rows die at different steps."""
-    from vggt_qwen3_tpu.config import Qwen3Config
+    import vggt_qwen3_tpu.ops.decode_attention as da
     from vggt_qwen3_tpu.inference.engine import GenerationConfig
     from vggt_qwen3_tpu.inference.speculative import generate_speculative
     from vggt_qwen3_tpu.models import qwen3
 
-    cfg = Qwen3Config(
-        vocab_size=256, hidden_size=512, num_layers=2, num_heads=4,
-        num_kv_heads=2, head_dim=128, intermediate_size=256, rope_theta=1e4,
-        tie_word_embeddings=True, dtype="float32",
-    )
+    cfg = _engine_cfg()
+    counter = count_dispatch(monkeypatch, da, "gqa_block_verify_attention")
     params = qwen3.init_params(jax.random.PRNGKey(10), cfg, dtype="float32")
     rng = np.random.default_rng(10)
     B_eng = 160
@@ -324,6 +351,7 @@ def test_speculative_forced_kernel_with_dead_rows(monkeypatch):
     # find a token some rows emit early and declare it EOS
     free_cfg = GenerationConfig(max_new_tokens=20, pad_token_id=0, kv_dtype="int8")
     monkeypatch.setenv("VGGT_DECODE_KERNEL", "0")
+    jax.clear_caches()
     free, _, _ = generate_speculative(
         params, cfg, free_cfg, inputs_embeds=emb, attention_mask=mask,
         prompt_ids=jnp.asarray(ids), draft_k=3, ngram=2,
@@ -336,11 +364,13 @@ def test_speculative_forced_kernel_with_dead_rows(monkeypatch):
     outs = {}
     for mode in ("0", "force"):
         monkeypatch.setenv("VGGT_DECODE_KERNEL", mode)
+        jax.clear_caches()
         toks, lens, _ = generate_speculative(
             params, cfg, gen_cfg, inputs_embeds=emb, attention_mask=mask,
             prompt_ids=jnp.asarray(ids), draft_k=3, ngram=2,
         )
         outs[mode] = (np.asarray(toks).tolist(), np.asarray(lens).tolist())
+    assert counter["n"] > 0, "verify kernel never dispatched — vacuous"
     lens0 = outs["0"][1]
     assert min(lens0) < max(lens0), "want staggered deaths for the edge case"
     assert outs["force"] == outs["0"]

@@ -1,0 +1,171 @@
+"""Fused W8 dequant-matmul MLP kernel (``ops/decode_matmul.py``) numerics +
+engine dispatch, interpreter mode on CPU (on-TPU A/B rides
+``VGGT_DECODE_MATMUL`` through bench.py like the decode-attention kernel)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vggt_qwen3_tpu.ops.decode_matmul import (
+    _pick_block_f,
+    fused_mlp_w8,
+    mlp_eligible,
+    mlp_w8_xla,
+)
+from vggt_qwen3_tpu.ops.quant import quantize_per_channel
+
+L, B, H, F = 3, 64, 256, 512
+
+
+def _stacked_w8(rng, shape):
+    w = jnp.asarray(rng.standard_normal(shape) * 0.05, jnp.float32)
+    return jax.vmap(quantize_per_channel)(w)
+
+
+@pytest.fixture(scope="module")
+def weights():
+    rng = np.random.default_rng(0)
+    return (
+        _stacked_w8(rng, (L, H, F)),
+        _stacked_w8(rng, (L, H, F)),
+        _stacked_w8(rng, (L, F, H)),
+    )
+
+
+def test_matches_xla_oracle_per_layer(weights):
+    gate, up, down = weights
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((B, H)) * 0.3, jnp.float32)
+    for li in range(L):
+        got = fused_mlp_w8(x, gate, up, down, li, interpret=True)
+        ref = mlp_w8_xla(x, gate, up, down, li)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-6
+        )
+
+
+@pytest.mark.parametrize("block_f", [128, 256, 512])
+def test_block_f_invariance(weights, block_f):
+    """Accumulating over more/fewer F tiles must not change results beyond
+    fp32 reassociation noise."""
+    gate, up, down = weights
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((B, H)) * 0.3, jnp.float32)
+    ref = fused_mlp_w8(x, gate, up, down, 0, block_f=F, interpret=True)
+    got = fused_mlp_w8(x, gate, up, down, 0, block_f=block_f, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-6, atol=1e-7
+    )
+
+
+def test_eligibility_gate():
+    assert mlp_eligible(368, 2560, 9728)       # the bench decode shape
+    assert not mlp_eligible(1, 2560, 9728)     # B=1 latency path stays XLA
+    assert not mlp_eligible(368, 2560, 9729)   # untileable F
+    assert not mlp_eligible(100, 2560, 9728)   # sublane-misaligned batch
+    assert not mlp_eligible(4096, 2560, 9728)  # resident x would blow VMEM
+    assert _pick_block_f(368, 2560, 9728) in (128, 256, 512, 1024)
+
+
+def _engine_cfg():
+    """Kernel-eligible dims: num_kv_heads=4 → NKV·T = 128 satisfies the
+    decode-attention flatten constraint (the MLP kernel gate requires the
+    attention kernel's decode/verify shape to be live)."""
+    from vggt_qwen3_tpu.config import Qwen3Config
+
+    return Qwen3Config(
+        vocab_size=256, hidden_size=512, num_layers=2, num_heads=4,
+        num_kv_heads=4, head_dim=128, intermediate_size=256, rope_theta=1e4,
+        tie_word_embeddings=True, dtype="float32",
+    )
+
+
+def test_engine_generate_token_exact_with_forced_kernel(monkeypatch):
+    """VGGT_DECODE_MATMUL=force (with the attention kernel also forced —
+    the MLP kernel dispatches only on kernel-shaped decode steps) must
+    reproduce the XLA path's tokens exactly, incl. left padding + int8 KV +
+    W8 quantized weights. Dispatch is asserted via a trace-time counter, and
+    jax.clear_caches() between modes keeps the env-flag A/B honest (jit
+    cache keys don't include env vars)."""
+    import vggt_qwen3_tpu.ops.decode_matmul as dm
+    from tests.test_decode_attention import count_dispatch
+    from vggt_qwen3_tpu.inference.engine import GenerationConfig, generate_text
+    from vggt_qwen3_tpu.models import qwen3
+
+    cfg = _engine_cfg()
+    counter = count_dispatch(monkeypatch, dm, "fused_mlp_w8")
+    params = qwen3.quantize_params(
+        qwen3.init_params(jax.random.PRNGKey(0), cfg, dtype="float32"),
+        donate=False,
+    )
+    rng = np.random.default_rng(0)
+    B_eng = 160  # B·T = 160·32 ≥ 4096, T = 32 tile-aligned → kernel-eligible
+    ids = rng.integers(1, 256, (B_eng, 16))
+    mask = np.ones_like(ids)
+    ids[:3, :5] = 0
+    mask[:3, :5] = 0
+    gen_cfg = GenerationConfig(max_new_tokens=16, pad_token_id=0, kv_dtype="int8")
+
+    monkeypatch.setenv("VGGT_DECODE_KERNEL", "force")
+    monkeypatch.setenv("VGGT_DECODE_MATMUL", "0")
+    jax.clear_caches()
+    ref, _ = generate_text(
+        params, cfg, gen_cfg, input_ids=jnp.asarray(ids),
+        attention_mask=jnp.asarray(mask),
+    )
+    assert counter["n"] == 0
+    monkeypatch.setenv("VGGT_DECODE_MATMUL", "force")
+    jax.clear_caches()
+    got, _ = generate_text(
+        params, cfg, gen_cfg, input_ids=jnp.asarray(ids),
+        attention_mask=jnp.asarray(mask),
+    )
+    assert counter["n"] > 0, "MLP kernel never dispatched — vacuous"
+    assert np.asarray(got).tolist() == np.asarray(ref).tolist()
+
+
+def test_speculative_verify_blocks_token_exact(monkeypatch):
+    """The S=k+1 block-verify path flattens to [B·S, H] rows for the fused
+    MLP — speculative generate must stay token-exact with both kernels
+    forced."""
+    import vggt_qwen3_tpu.ops.decode_matmul as dm
+    from tests.test_decode_attention import count_dispatch
+    from vggt_qwen3_tpu.inference.engine import GenerationConfig, generate_text
+    from vggt_qwen3_tpu.inference.speculative import generate_speculative
+    from vggt_qwen3_tpu.models import qwen3
+
+    cfg = _engine_cfg()
+    counter = count_dispatch(monkeypatch, dm, "fused_mlp_w8")
+    params = qwen3.quantize_params(
+        qwen3.init_params(jax.random.PRNGKey(1), cfg, dtype="float32"),
+        donate=False,
+    )
+    rng = np.random.default_rng(3)
+    # B·T = 160·32 ≥ 4096 (attention-kernel gate, which also gates the MLP
+    # kernel); B·(k+1) = 640 rows, %16 == 0, ≤ 1024
+    B_eng = 160
+    cyc = [7, 23, 5, 41]
+    ids = rng.integers(1, 256, (B_eng, 16))
+    ids[:, -len(cyc):] = cyc  # draftable structure
+    mask = np.ones_like(ids)
+    gen_cfg = GenerationConfig(max_new_tokens=16, pad_token_id=0, kv_dtype="int8")
+
+    monkeypatch.setenv("VGGT_DECODE_KERNEL", "force")
+    monkeypatch.setenv("VGGT_DECODE_MATMUL", "0")
+    jax.clear_caches()
+    ref, _ = generate_text(
+        params, cfg, gen_cfg, input_ids=jnp.asarray(ids),
+        attention_mask=jnp.asarray(mask),
+    )
+    emb = qwen3.embed_tokens(params, jnp.asarray(ids))
+    monkeypatch.setenv("VGGT_DECODE_MATMUL", "force")
+    jax.clear_caches()
+    got, _, iters = generate_speculative(
+        params, cfg, gen_cfg, inputs_embeds=emb,
+        attention_mask=jnp.asarray(mask), prompt_ids=jnp.asarray(ids),
+        draft_k=3, ngram=2,
+    )
+    assert counter["n"] > 0, "MLP kernel never dispatched — vacuous"
+    assert np.asarray(got).tolist() == np.asarray(ref).tolist()
+    assert int(np.asarray(iters)) < 16  # blocks actually amortized

@@ -616,8 +616,12 @@ class SlotEngine:
         # inference/constrained.py); every request decodes under it
         self.constraint = None if constraint is None else jnp.asarray(constraint)
         # speculative blocks scatter k+1 KV entries from each slot's frontier;
-        # the rejected tail beyond a row's budget needs scratch columns
-        self._row_len = max_len + (draft_k + 1 if speculative else 0)
+        # the rejected tail beyond a row's budget needs scratch columns. The
+        # row length rounds UP to the int8 sublane (32) so the fused decode/
+        # verify kernels' tile-aligned-T gate never hinges on the caller's
+        # max_len arithmetic (r5; extra columns stay masked)
+        raw_len = max_len + (draft_k + 1 if speculative else 0)
+        self._row_len = -(-raw_len // 32) * 32
         self.state = init_slot_state(cfg, gen_cfg, num_slots, self._row_len)
         self.prefixes: Dict[int, Tuple[object, jnp.ndarray, int]] = {}
         self._next_prefix_id = 0

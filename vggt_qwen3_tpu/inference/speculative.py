@@ -115,7 +115,11 @@ def _prefill_body(
     """
     B, S, _ = inputs_embeds.shape
     N = gen_cfg.max_new_tokens
-    total = S + N + k
+    # round the cache length up to the int8 sublane (32): the fused
+    # block-verify kernel requires tile-aligned T, and S+N+k lands on
+    # arbitrary values — a few masked scratch columns buy unconditional
+    # kernel eligibility (r5; r4's raw S+N+k silently disqualified it)
+    total = -(-(S + N + k) // 32) * 32
 
     cache = qwen3.init_cache(cfg, B, total, dtype=gen_cfg.kv_dtype or cfg.dtype)
     amask = jnp.zeros((B, total), jnp.int32).at[:, :S].set(attention_mask.astype(jnp.int32))

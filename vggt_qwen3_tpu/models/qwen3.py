@@ -146,11 +146,13 @@ def _layer_qkv(cfg: Qwen3Config, h, lp, cos, sin):
     return q, k, v
 
 
-def _layer_post_attn(cfg: Qwen3Config, h, lp, attn):
+def _layer_post_attn(cfg: Qwen3Config, h, lp, attn, mlp_fn=None):
     B, S, _ = h.shape
     a = attn.reshape(B, S, cfg.num_heads * cfg.head_dim)
     h = h + _maybe_lora(lp, "wo", a, quant.linear(a, lp["wo"]))
     x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
+    if mlp_fn is not None:  # fused Pallas W8 SwiGLU (ops/decode_matmul.py)
+        return h + mlp_fn(x)
     gated = jax.nn.silu(_maybe_lora(lp, "gate", x, quant.linear(x, lp["gate"]))) * _maybe_lora(
         lp, "up", x, quant.linear(x, lp["up"])
     )
@@ -308,6 +310,50 @@ def forward_hidden(
             and attention_mask.ndim == 3
             and S * cfg.num_heads <= 1024
         )
+
+        # Fused W8 dequant-matmul MLP kernel (ops/decode_matmul.py): batched
+        # decode/verify steps only (B·S rows), plain-W8 stacked weights, no
+        # MLP LoRA. env: "1" = on for TPU, "0" (default until the on-chip A/B
+        # lands) = off, "force" = interpreter on any backend (tests).
+        _mm = os.environ.get("VGGT_DECODE_MATMUL", "0")
+        _mm_on = _mm != "0" and (jax.default_backend() == "tpu" or _mm == "force")
+        lyr = params["layers"]
+        use_mlp_kernel = False
+        if _mm_on and (use_decode_kernel or use_verify_kernel):
+            from ..ops.decode_matmul import mlp_eligible
+
+            plain_w8 = all(
+                isinstance(lyr.get(k), dict)
+                and "w8" in lyr[k]
+                and quant.A8_MARKER not in lyr[k]
+                for k in ("gate", "up", "down")
+            )
+            no_mlp_lora = "lora" not in lyr or not any(
+                k in lyr["lora"] for k in ("gate", "up", "down")
+            )
+            use_mlp_kernel = (
+                plain_w8
+                and no_mlp_lora
+                and mlp_eligible(B * S, cfg.hidden_size, cfg.intermediate_size)
+            )
+        if use_mlp_kernel:
+            from ..ops.decode_matmul import fused_mlp_w8
+
+            stacked_mlp = {k: lyr[k] for k in ("gate", "up", "down")}
+
+            def make_mlp_fn(li):
+                def mlp_fn(x):
+                    Bx, Sx, Hx = x.shape
+                    y = fused_mlp_w8(
+                        x.reshape(Bx * Sx, Hx),
+                        stacked_mlp["gate"], stacked_mlp["up"],
+                        stacked_mlp["down"], li,
+                        interpret=jax.default_backend() != "tpu",
+                    )
+                    return y.reshape(Bx, Sx, Hx)
+                return mlp_fn
+        else:
+            make_mlp_fn = None
         if use_decode_kernel:
             from ..ops.decode_attention import gqa_decode_attention
 
@@ -406,11 +452,23 @@ def forward_hidden(
                 kc = jax.lax.dynamic_index_in_dim(c["k"], li, axis=0, keepdims=False)
                 vc = jax.lax.dynamic_index_in_dim(c["v"], li, axis=0, keepdims=False)
                 attn = mha(q, kc, vc, mask=mask, kv_heads_major=True)
-            h = _layer_post_attn(cfg, h, lp, attn)
+            h = _layer_post_attn(
+                cfg, h, lp, attn,
+                mlp_fn=make_mlp_fn(li) if make_mlp_fn is not None else None,
+            )
             return (h, c), None
 
+        scan_layers = params["layers"]
+        if use_mlp_kernel:
+            # the fused kernel reads the STACKED gate/up/down via its
+            # scalar-prefetched layer index — keep them out of the scan xs so
+            # no per-layer weight slice is ever materialized for them
+            scan_layers = {
+                k: v for k, v in scan_layers.items()
+                if k not in ("gate", "up", "down")
+            }
         (h, new_cache), _ = jax.lax.scan(
-            body, (h, dict(cache)), (params["layers"], jnp.arange(L))
+            body, (h, dict(cache)), (scan_layers, jnp.arange(L))
         )
     elif pipeline is not None and pipeline.pp > 1:
         # pipeline-parallel training path: GPipe wavefront over the pp mesh

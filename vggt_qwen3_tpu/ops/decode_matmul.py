@@ -1,0 +1,187 @@
+"""Pallas TPU fused W8 dequant-matmul kernels for the decode MLP trio.
+
+VERDICT r4 item 1: with attention kernelized, the W8 decode step's remaining
+headroom sits in the matmul path — XLA schedules the gate/up/down W8 matmuls
+as separate fusions, materializing the two ``[B, F]`` bf16 intermediates to
+HBM between them and re-reading ``x`` per projection. This kernel runs the
+whole SwiGLU trio as ONE pass over the layer's int8 weights:
+
+- **Whole stacked weights in, scalar-prefetched layer index** — the kernel is
+  called once per layer inside the decoder ``lax.scan``; BlockSpec index maps
+  pick ``(layer, tile)`` blocks of the stacked ``[L, H, F]``/``[L, F, H]``
+  int8 arrays directly from HBM, so the scan never materializes a per-layer
+  weight slice (the same trick as ``ops/decode_attention.py``).
+- **VMEM-resident activations** — ``x`` [B, H] loads once (its BlockSpec
+  index map is constant across the grid) and the fp32 ``[B, H]`` accumulator
+  lives in scratch across all F tiles; the ``[B, bf]`` gate/up intermediates
+  never touch HBM.
+- **Dequant fused into the tile read** — each int8 weight tile converts to
+  bf16 and scales in VMEM right before its dot, mirroring the XLA path's
+  ``x @ (w8.astype(bf16) * scale)`` rounding order so engine outputs stay
+  token-comparable (``tests/test_decode_matmul.py`` locks engine-level
+  token-exactness vs the XLA path at kernel-eligible dims).
+
+Weight layout contract (``qwen3.init_params`` stacked layers, quantized by
+``quantize_params``): gate/up ``{"w8": [L, H, F] int8, "scale": [L, 1, F]
+bf16}``, down ``{"w8": [L, F, H], "scale": [L, 1, H]}``.
+
+Reference economics: ``src/inference/qa_inference.py:207-216`` (the
+reference serves greedy decode through HF generate; its CUDA analogue of
+this fusion is what vLLM-style fused MLP kernels do).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _mlp_kernel(
+    li_ref,      # [1] int32 scalar prefetch (consumed by index maps)
+    x_ref,       # [B, H] bf16 (resident across the grid)
+    gw_ref,      # [1, H, bf] int8 — this layer's gate tile
+    gs_ref,      # [1, 1, bf] bf16
+    uw_ref,      # [1, H, bf] int8
+    us_ref,      # [1, 1, bf] bf16
+    dw_ref,      # [1, bf, H] int8 — down tile (contraction over F)
+    ds_ref,      # [1, 1, H] bf16
+    out_ref,     # [B, H] bf16
+    acc_ref,     # VMEM scratch [B, H] fp32
+):
+    del li_ref
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]
+    dt = x.dtype  # bf16 in production; the XLA path dequantizes to x.dtype,
+    # so matching it keeps per-op rounding identical (token parity)
+    gw = gw_ref[0].astype(dt) * gs_ref[0].astype(dt)  # [H, bf]
+    uw = uw_ref[0].astype(dt) * us_ref[0].astype(dt)
+    g = jax.lax.dot_general(
+        x, gw, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dt)  # round like the XLA path's projection output
+    u = jax.lax.dot_general(
+        x, uw, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dt)
+    a = (jax.nn.silu(g.astype(jnp.float32)).astype(dt) * u)  # [B, bf]
+    dw = dw_ref[0].astype(dt) * ds_ref[0].astype(dt)  # [bf, H]
+    acc_ref[:] += jax.lax.dot_general(
+        a, dw, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _pick_block_f(B: int, H: int, F: int) -> Optional[int]:
+    """Largest F tile whose VMEM working set (resident x + fp32 accumulator
+    + double-buffered int8 gate/up/down tiles + fp32/bf16 [B, bf] temps)
+    stays within ~12 MB of the ~16 MB VMEM."""
+    fixed = 6 * B * H  # x bf16 + acc fp32
+    for bf in (1024, 512, 256, 128):
+        if F % bf == 0 and fixed + (6 * H + 10 * B) * bf <= 12 * 1024 * 1024:
+            return bf
+    return None
+
+
+def mlp_eligible(B: int, H: int, F: int) -> bool:
+    """Static gate: tile-aligned dims, a batch big enough that the fused trio
+    amortizes its fixed costs (the B=1 latency path stays on XLA), and a
+    legal VMEM tiling."""
+    return (
+        H % 128 == 0
+        and B % 16 == 0  # bf16 sublane alignment for the resident x block
+        and 64 <= B <= 1024
+        and _pick_block_f(B, H, F) is not None
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_f", "interpret")
+)
+def fused_mlp_w8(
+    x: jnp.ndarray,
+    gate: dict,
+    up: dict,
+    down: dict,
+    li,
+    *,
+    block_f: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """SwiGLU MLP over stacked W8 weights: ``silu(x@gate)·(x@up) @ down`` for
+    layer ``li``, one Pallas pass (no HBM intermediates, dequant in-tile).
+
+    Args:
+        x: [B, H] bf16 (the S=1 decode activations, already RMS-normed).
+        gate/up: ``{"w8": [L, H, F] int8, "scale": [L, 1, F] bf16}``.
+        down: ``{"w8": [L, F, H] int8, "scale": [L, 1, H] bf16}``.
+        li: layer index (traced scalar ok).
+    Returns:
+        [B, H] in x's dtype (residual add stays with the caller).
+    """
+    B, H = x.shape
+    L, _, F = gate["w8"].shape
+    assert down["w8"].shape == (L, F, H), (down["w8"].shape, (L, F, H))
+    if block_f is None:
+        block_f = _pick_block_f(B, H, F)
+        assert block_f is not None, f"no legal F tile for B={B} H={H} F={F}"
+    assert F % block_f == 0, (F, block_f)
+    grid = (F // block_f,)
+    li_arr = jnp.asarray(li, jnp.int32).reshape(1)
+
+    def w_tile(spec_shape, index_map):
+        return pl.BlockSpec(spec_shape, index_map)
+
+    in_specs = [
+        pl.BlockSpec((B, H), lambda j, li_ref: (0, 0)),  # x resident
+        w_tile((1, H, block_f), lambda j, li_ref: (li_ref[0], 0, j)),
+        w_tile((1, 1, block_f), lambda j, li_ref: (li_ref[0], 0, j)),
+        w_tile((1, H, block_f), lambda j, li_ref: (li_ref[0], 0, j)),
+        w_tile((1, 1, block_f), lambda j, li_ref: (li_ref[0], 0, j)),
+        w_tile((1, block_f, H), lambda j, li_ref: (li_ref[0], j, 0)),
+        w_tile((1, 1, H), lambda j, li_ref: (li_ref[0], 0, 0)),
+    ]
+    return pl.pallas_call(
+        _mlp_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((B, H), lambda j, li_ref: (0, 0)),
+            scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H), x.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * H * F,
+            bytes_accessed=3 * H * F + 2 * B * H * 2,
+            transcendentals=B * F,
+        ),
+    )(li_arr, x, gate["w8"], gate["scale"], up["w8"], up["scale"],
+      down["w8"], down["scale"])
+
+
+def mlp_w8_xla(x, gate, up, down, li):
+    """The XLA oracle at the same per-layer slice (testing/A-B)."""
+    from . import quant
+
+    sl = lambda w: {k: jax.lax.dynamic_index_in_dim(v, li, 0, keepdims=False)
+                    for k, v in w.items()}
+    g = jax.nn.silu(quant.linear(x, sl(gate))) * quant.linear(x, sl(up))
+    return quant.linear(g, sl(down))
