@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import time
 from pathlib import Path
 from typing import Dict, List
 
@@ -90,6 +91,18 @@ def main() -> None:
         help="which quantized serving mode --compare_quant measures "
              "(w8 = near-lossless default, w8a8 = throughput mode, w4 = storage mode)",
     )
+    ap.add_argument(
+        "--random_full", action="store_true",
+        help="run the FULL-SIZE model at random init when no checkpoint is "
+             "given (systems soak / perf validation — predictions are "
+             "garbage; the default no-checkpoint path falls back to tiny)",
+    )
+    ap.add_argument(
+        "--serve_quant", choices=["none", "w8", "w8a8"], default="none",
+        help="quantize the text weights once after load (donating the bf16 "
+             "copy) and decode with int8 KV — the serving configuration the "
+             "QA throughput bench measures",
+    )
     args = ap.parse_args()
 
     globs = dict(DEFAULT_GLOBS)
@@ -100,6 +113,18 @@ def main() -> None:
     stage = build_stage(args)
     tokenizer = load_tokenizer(None if args.tiny else stage.tokenizer_path or stage.text_model_name)
     params = load_model(stage, args.checkpoint_dir)
+    serve_kv = None
+    if args.serve_quant != "none":
+        if args.compare_quant:
+            raise SystemExit("--serve_quant and --compare_quant are exclusive "
+                             "(the compare path quantizes per dataset itself)")
+        from ..models import qwen3 as _qwen3
+
+        # donate: the bf16 text weights free as the int8 copy materializes —
+        # both co-resident would OOM a 16 GB chip on the 4B model
+        params = dict(params)
+        params["text"] = _qwen3.quantize_params(params["text"], mode=args.serve_quant)
+        serve_kv = "int8"
 
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -114,22 +139,57 @@ def main() -> None:
         except FileNotFoundError as e:
             print(f"⚠️  skipping {name}: {e}")
             continue
-        picked = pick_unique_scene_samples(dataset, args.num_samples, args.seed)
-        samples = [dataset[i] for i in picked]
-        records = run_inference(
-            params, stage, tokenizer, samples,
-            max_new_tokens=args.max_new_tokens,
-            batch_size=args.batch_size,
-            output_path=out_dir / f"{name}_baseline.jsonl",
-            verbose=False,
-        )
+        # num_samples < 0 → the FULL split in file order (no unique-scene
+        # subsetting), streamed in mega-chunks so all images never co-reside
+        # in host memory (full splits are ~17 GB of decoded pixels) — the
+        # systems-soak mode (VERDICT r4 item 6). The 50-sample unique-scene
+        # protocol stays the scored-eval default.
+        if args.num_samples < 0:
+            from ..inference.qa import IMAGE_TOKEN, max_prompt_len
+
+            n = len(dataset)
+            metas = [dataset.meta(i) for i in range(n)]
+            pad = max_prompt_len(tokenizer, [
+                f"{m.get('question') or m.get('instruction') or ''}\n{IMAGE_TOKEN}\n"
+                for m in metas
+            ])
+            records = []
+            mega = 8 * args.batch_size
+            t_soak = time.time()
+            for s0 in range(0, n, mega):
+                chunk = [dataset[i] for i in range(s0, min(s0 + mega, n))]
+                records += run_inference(
+                    params, stage, tokenizer, chunk,
+                    max_new_tokens=args.max_new_tokens,
+                    batch_size=args.batch_size,
+                    output_path=out_dir / f"{name}_baseline.jsonl",
+                    verbose=False, pad_to_len=pad, append=s0 > 0, index_base=s0,
+                    kv_dtype=serve_kv,
+                )
+                done = len(records)
+                dt = time.time() - t_soak
+                print(f"  soak {name}: {done}/{n} ({done/max(dt,1e-9):.2f} "
+                      f"samples/s, {dt:.0f}s)", flush=True)
+        else:
+            picked = pick_unique_scene_samples(dataset, args.num_samples, args.seed)
+            samples = [dataset[i] for i in picked]
+            records = run_inference(
+                params, stage, tokenizer, samples,
+                max_new_tokens=args.max_new_tokens,
+                batch_size=args.batch_size,
+                output_path=out_dir / f"{name}_baseline.jsonl",
+                verbose=False, kv_dtype=serve_kv,
+            )
         metrics = compute_metrics(records)
         summary[name] = metrics
         print(
             f"{name}: {metrics['exact_match']}/{metrics['total']} exact "
             f"({metrics['accuracy']:.1f}%), partial_accuracy {metrics['partial_accuracy']:.1f}%"
         )
-        if args.compare_quant:
+        if args.compare_quant and args.num_samples < 0:
+            print("⚠️  --compare_quant ignored in full-split soak mode "
+                  "(use the 50-sample protocol for the quality gate)")
+        elif args.compare_quant:
             q_records = run_inference(
                 params, stage, tokenizer, samples,
                 max_new_tokens=args.max_new_tokens,

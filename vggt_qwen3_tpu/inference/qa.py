@@ -112,13 +112,22 @@ def run_inference(
     quant_mode: str = "w8",
     early_exit: bool = True,
     speculative: bool = False,
+    pad_to_len: Optional[int] = None,
+    append: bool = False,
+    index_base: int = 0,
 ) -> List[Dict]:
     """``early_exit`` (default on): each batch stops decoding once every row
     hit EOS (token-exact — ``engine.generate_early_exit`` fused mode); with
     the deployment's 1-2-word answers this skips most of the 32-step budget.
     Disable (``--no_early_exit``) to force the fixed-length scan.
     ``speculative``: prompt-lookup speculative decode (also token-exact;
-    wins when answers echo prompt spans)."""
+    wins when answers echo prompt spans).
+
+    ``pad_to_len``/``append``/``index_base``: streaming-caller support (the
+    full-split soak feeds samples in mega-chunks so images never all load at
+    once) — a caller-supplied prompt bucket keeps ONE compiled program
+    across chunks, ``append`` continues the output JSONL, ``index_base``
+    offsets the record indices."""
     if quantize:  # quantized serving mode (weights + embedding/LM head)
         from ..models import qwen3
 
@@ -136,13 +145,15 @@ def run_inference(
     )
     if output_path is not None:
         output_path.parent.mkdir(parents=True, exist_ok=True)
-        output_path.write_text("", encoding="utf-8")
+        if not append:
+            output_path.write_text("", encoding="utf-8")
 
     results: List[Dict] = []
     t0 = time.time()
     all_questions = [s.get("question") or s.get("instruction") or "" for s in samples]
-    # fixed bucket across the whole run → generate compiles once
-    pad_to_len = max_prompt_len(tokenizer, [f"{q}\n{IMAGE_TOKEN}\n" for q in all_questions])
+    if pad_to_len is None:
+        # fixed bucket across the whole run → generate compiles once
+        pad_to_len = max_prompt_len(tokenizer, [f"{q}\n{IMAGE_TOKEN}\n" for q in all_questions])
     for start in range(0, len(samples), batch_size):
         chunk = samples[start : start + batch_size]
         questions = all_questions[start : start + batch_size]
@@ -157,7 +168,7 @@ def run_inference(
             raw = tokenizer.decode(tokens[j][: lengths[j]], skip_special_tokens=True)
             text = postprocess_qa_answer(raw, questions[j])
             record = {
-                "index": start + j,
+                "index": index_base + start + j,
                 "task": sample.get("task"),
                 "scene_id": sample.get("scene_id"),
                 "question": questions[j],
@@ -177,7 +188,9 @@ def run_inference(
 
 
 def build_stage(args) -> StageConfig:
-    if getattr(args, "checkpoint_dir", None) is None and not (args.tiny or args.mock_vision):
+    if (getattr(args, "checkpoint_dir", None) is None
+            and not (args.tiny or args.mock_vision)
+            and not getattr(args, "random_full", False)):
         # Shared by qa/arkit/server/baseline mains: without a checkpoint the
         # full-size model would be random-init (no pretrained weights are
         # fetchable in this environment) — fall back to a fast smoke config

@@ -313,9 +313,10 @@ def forward_hidden(
 
         # Fused W8 dequant-matmul MLP kernel (ops/decode_matmul.py): batched
         # decode/verify steps only (B·S rows), plain-W8 stacked weights, no
-        # MLP LoRA. env: "1" = on for TPU, "0" (default until the on-chip A/B
-        # lands) = off, "force" = interpreter on any backend (tests).
-        _mm = os.environ.get("VGGT_DECODE_MATMUL", "0")
+        # MLP LoRA. env: "1" (default — measured 10,005 vs 9,364 tok/s W8 at
+        # B=368 and token-exact on chip, r5) = on for TPU, "0" = off,
+        # "force" = interpreter on any backend (tests).
+        _mm = os.environ.get("VGGT_DECODE_MATMUL", "1")
         _mm_on = _mm != "0" and (jax.default_backend() == "tpu" or _mm == "force")
         lyr = params["layers"]
         use_mlp_kernel = False
@@ -341,13 +342,15 @@ def forward_hidden(
 
             stacked_mlp = {k: lyr[k] for k in ("gate", "up", "down")}
 
+            _bf = int(os.environ.get("VGGT_MLP_BLOCK_F", "0")) or None  # tuning
+
             def make_mlp_fn(li):
                 def mlp_fn(x):
                     Bx, Sx, Hx = x.shape
                     y = fused_mlp_w8(
                         x.reshape(Bx * Sx, Hx),
                         stacked_mlp["gate"], stacked_mlp["up"],
-                        stacked_mlp["down"], li,
+                        stacked_mlp["down"], li, block_f=_bf,
                         interpret=jax.default_backend() != "tpu",
                     )
                     return y.reshape(Bx, Sx, Hx)
