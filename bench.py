@@ -577,6 +577,93 @@ def train_mode() -> None:
         os.environ["BENCH_RETRIED"] = "0"  # OOM fallback ≠ transient retry budget
         os.execv(sys.executable, [sys.executable] + sys.argv)
 
+    # ---- per-phase wall breakdown (VERDICT r4 item 2: attribute the MFU by
+    # measurement, not narrative). BENCH_TRAIN_PHASES=1 times, at the SAME
+    # micro shape: (a) the frozen vision+projector encode alone (fwd),
+    # (b) the full loss forward, (c) the fwd+bwd micro (already measured) —
+    # text fwd ≈ (b)−(a), bwd ≈ (c)−(b). BENCH_TRAIN_TRACE=<dir> wraps one
+    # timed micro in jax.profiler.trace for op-level attribution (works iff
+    # the tunneled backend exports traces; the decomposition above is the
+    # backend-independent fallback).
+    if os.environ.get("BENCH_TRAIN_PHASES") == "1":
+        rngnp = np.random.default_rng(0)
+        ph_images = jnp.asarray(rngnp.uniform(0, 1, (B, V, 3, S, S)), mcfg.dtype)
+        ph_ids = rngnp.integers(1, mcfg.text.vocab_size, (B, T))
+        ph_ids[:, 4] = img_id
+        ph_input_ids = jnp.asarray(ph_ids)
+        ph_mask = jnp.ones((B, T), jnp.int32)
+        ph_labels = jnp.asarray(np.where(np.arange(T)[None] < 8, -100, ph_ids))
+        ph_geom = {
+            "R": jnp.asarray(rngnp.normal(size=(B, V, 9)), jnp.float32),
+            "t": jnp.asarray(rngnp.normal(size=(B, V, 3)), jnp.float32),
+            "K": jnp.asarray(rngnp.normal(size=(B, V, 9)), jnp.float32),
+            "depth_hist": jnp.asarray(rngnp.normal(size=(B, V, 16)), jnp.float32),
+            "mask": jnp.ones((B,), bool),
+        }
+
+        def assemble(trainable):
+            p = dict(frozen)
+            p["projector"] = trainable["projector"]
+            p["geom"] = trainable["geom"]
+            if "lora" in trainable:
+                text = dict(p["text"])
+                text["layers"] = dict(text["layers"], lora=trainable["lora"])
+                p["text"] = text
+            return p
+
+        def ph_vision(trainable):
+            return vlm.encode_images(assemble(trainable), mcfg, ph_images).sum()
+
+        def ph_loss(trainable):
+            return vlm.train_forward(
+                assemble(trainable), mcfg, images=ph_images, geom_token=ph_geom,
+                input_ids=ph_input_ids, attention_mask=ph_mask, labels=ph_labels,
+                image_token_id=img_id, rng=jax.random.PRNGKey(1),
+            )
+
+        def ph_time(fn, label):
+            f = jax.jit(fn)
+            t0 = time.time()
+            np.asarray(f(trainable))
+            c = time.time() - t0
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                np.asarray(f(trainable))
+                ts.append(time.time() - t0)
+            dt = min(ts)
+            print(f"train phase [{label}]: {dt:.3f}s (compile {c:.1f}s)",
+                  file=sys.stderr, flush=True)
+            return dt
+
+        t_vis = ph_time(ph_vision, "vision+projector fwd")
+        t_fwd = ph_time(ph_loss, "full loss fwd")
+        print(
+            f"train phases @ B={B}: vision {t_vis:.3f}s | "
+            f"text+splice+CE fwd ≈ {t_fwd - t_vis:.3f}s | "
+            f"bwd ≈ {micro_raw - t_fwd:.3f}s | micro total {micro_raw:.3f}s "
+            f"({t_vis/micro_raw*100:.0f}% / {(t_fwd-t_vis)/micro_raw*100:.0f}% / "
+            f"{(micro_raw-t_fwd)/micro_raw*100:.0f}%)",
+            file=sys.stderr, flush=True,
+        )
+        trace_dir = os.environ.get("BENCH_TRAIN_TRACE")
+        if trace_dir:
+            try:
+                grad_fn = jax.jit(jax.value_and_grad(
+                    lambda tr: ph_loss(tr)))
+                np.asarray(grad_fn(trainable)[0])  # compile outside the trace
+                with jax.profiler.trace(trace_dir):
+                    loss, grads = grad_fn(trainable)
+                    np.asarray(loss)
+                    del grads
+                import glob
+                files = glob.glob(os.path.join(trace_dir, "**", "*"), recursive=True)
+                print(f"train trace: {len(files)} files under {trace_dir}",
+                      file=sys.stderr, flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"train trace FAILED on this backend: {e!r}",
+                      file=sys.stderr, flush=True)
+
     # ---- the MEASURED grad-accum cycle: k microbatches + the real optimizer
     # update, one jitted program, update inside the timing. Accumulation is
     # hand-rolled (scan carries ONLY the bf16 grad accumulator; params and
