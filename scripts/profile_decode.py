@@ -42,10 +42,24 @@ NH, NKV, D = CFG.num_heads, CFG.num_kv_heads, CFG.head_dim
 
 
 def _fill_int8(shape, i=0):
-    acc = jnp.zeros(shape, jnp.float32)
-    for d in range(len(shape)):
-        acc = acc + jax.lax.broadcasted_iota(jnp.float32, shape, d) * (3.0 + 2 * d)
-    return (jnp.mod(acc + i, 251.0) - 125.0).astype(jnp.int8)
+    """Deterministic int8 fill, built ON DEVICE inside one jit, chunked over
+    the leading axis — an eager whole-array f32 iota at the KV-cache shape
+    is ~8.7 GB and OOMs the chip before the benchmark even starts."""
+
+    def whole(sub, base):
+        acc = jnp.zeros(sub, jnp.float32) + base
+        for d in range(len(sub)):
+            acc = acc + jax.lax.broadcasted_iota(jnp.float32, sub, d) * (5.0 + 2 * d)
+        return (jnp.mod(acc + i, 251.0) - 125.0).astype(jnp.int8)
+
+    total = int(np.prod(shape))
+    if total * 4 <= 2 << 30:  # f32 working set fits comfortably
+        return jax.jit(lambda: whole(shape, 0.0))()
+    # chunk the f32 intermediate over the leading axis (the [L, B, NKV, T, D]
+    # KV shapes are ~9 GB in f32 — whole-array OOMs the chip)
+    return jax.jit(lambda: jax.lax.map(
+        lambda j: whole(shape[1:], j.astype(jnp.float32) * 3.0),
+        jnp.arange(shape[0])))()
 
 
 def _w8(shape, i=0):
@@ -56,14 +70,19 @@ def _w8(shape, i=0):
     }
 
 
-def _time(fn, label, reps=3):
+def _time(fn, label, *args, reps=3):
+    """Times ``jit(fn)(*args)``. Operands MUST be passed as ``args`` — a
+    closure-captured device array bakes into the HLO as a literal constant,
+    which the tunneled remote-compile helper rejects above ~100 MB
+    (HTTP 413) and which distorts compile time for everything smaller."""
+    f = jax.jit(fn)
     t0 = time.time()
-    np.asarray(jax.jit(fn)())
+    np.asarray(f(*args))
     compile_s = time.time() - t0
     times = []
     for _ in range(reps):
         t0 = time.time()
-        np.asarray(jax.jit(fn)())
+        np.asarray(f(*args))
         times.append(time.time() - t0)
     dt = min(times)
     per = dt / ITERS * 1000
@@ -84,33 +103,58 @@ def section_matmul(mlp_only=False, quant_mode="w8"):
         layers = {k: quant.mark_act_quant(v) for k, v in layers.items()}
     x0 = jnp.asarray(np.random.default_rng(0).normal(size=(B, H)) * 0.02, jnp.bfloat16)
 
-    def layer_body(x, lp):
+    fused = os.environ.get("PROF_FUSED") == "1"
+
+    def layer_body(x, lp, li, ws):
         if not mlp_only:
-            q = quant.linear(x, lp["wq"])
-            k = quant.linear(x, lp["wk"])
-            v = quant.linear(x, lp["wv"])
+            if fused:
+                from vggt_qwen3_tpu.ops.decode_matmul import fused_linear_w8, fused_qkv_w8
+
+                q, k, v = fused_qkv_w8(x, ws["wq"], ws["wk"], ws["wv"], li)
+            else:
+                q = quant.linear(x, lp["wq"])
+                k = quant.linear(x, lp["wk"])
+                v = quant.linear(x, lp["wv"])
             # stand-in for attention output: fold q/k/v into a [B, NH*D] "attn"
             a = q + jnp.tile(k, (1, NH // NKV)) * 1e-3 + jnp.tile(v, (1, NH // NKV)) * 1e-3
-            x = x + quant.linear(a, lp["wo"])
-        g = jax.nn.silu(quant.linear(x, lp["gate"])) * quant.linear(x, lp["up"])
-        x = x + quant.linear(g, lp["down"])
+            if fused:
+                from vggt_qwen3_tpu.ops.decode_matmul import fused_linear_w8
+
+                x = x + fused_linear_w8(a, ws["wo"], li)
+            else:
+                x = x + quant.linear(a, lp["wo"])
+        if fused:
+            from vggt_qwen3_tpu.ops.decode_matmul import fused_mlp_w8
+
+            x = x + fused_mlp_w8(x, ws["gate"], ws["up"], ws["down"], li)
+        else:
+            g = jax.nn.silu(quant.linear(x, lp["gate"])) * quant.linear(x, lp["up"])
+            x = x + quant.linear(g, lp["down"])
         return x * 0.999, None  # keep magnitudes bounded over ITERS
 
-    def step(x):
-        if quant_mode == "w8a8":
+    def step(x, layers, head):
+        if fused:
+            # the fused kernels index stacked weights via scalar prefetch
+            x, _ = jax.lax.scan(
+                lambda xx, li: layer_body(xx, None, li, layers),
+                x, jnp.arange(L))
+        elif quant_mode == "w8a8":
             # W8A8 linear requires 2-D weights: scan slices the stacked dicts
-            x, _ = jax.lax.scan(lambda xx, lp: layer_body(xx, lp), x, layers)
+            x, _ = jax.lax.scan(lambda xx, lp: layer_body(xx, lp, None, None), x, layers)
         else:
-            x, _ = jax.lax.scan(layer_body, x, layers)
+            x, _ = jax.lax.scan(lambda xx, lp: layer_body(xx, lp, None, None), x, layers)
         logits = quant.linear(x, head).astype(jnp.float32)
         # fold logits back so the head can't be DCE'd; tiny reduce
         return x + (logits.sum(-1, keepdims=True) * 1e-12).astype(x.dtype)
 
-    def run():
-        return jax.lax.fori_loop(0, ITERS, lambda i, x: step(x), x0).sum()
+    def run(x0, layers, head):
+        return jax.lax.fori_loop(
+            0, ITERS, lambda i, x: step(x, layers, head), x0).sum()
 
     name = "mlp_path" if mlp_only else "matmul_path"
-    _time(run, f"{name}[{quant_mode}] (B={B})")
+    if fused:
+        name += "+fused_kernels"
+    _time(run, f"{name}[{quant_mode}] (B={B})", x0, layers, head)
 
 
 def section_attn():
@@ -124,17 +168,19 @@ def section_attn():
     end = jnp.full((B,), T, jnp.int32)
     q0 = jnp.asarray(np.random.default_rng(0).normal(size=(B, NH, D)) * 0.1, jnp.bfloat16)
 
-    def step(q):
+    def step(q, k, v, ks, vs, start, end):
         def body(qq, li):
             o = gqa_decode_attention(qq, k, v, li, start, end, ks, vs)
             return o * 0.999, None
         q, _ = jax.lax.scan(body, q, jnp.arange(L))
         return q
 
-    def run():
-        return jax.lax.fori_loop(0, ITERS, lambda i, q: step(q), q0).sum()
+    def run(q0, k, v, ks, vs, start, end):
+        return jax.lax.fori_loop(
+            0, ITERS, lambda i, q: step(q, k, v, ks, vs, start, end), q0).sum()
 
-    _time(run, f"attn_kernel (B={B}, T={T}, {L} layers)")
+    _time(run, f"attn_kernel (B={B}, T={T}, {L} layers)",
+          q0, k, v, ks, vs, start, end)
 
 
 def section_single():
@@ -143,16 +189,18 @@ def section_single():
     wd = (wq["w8"].astype(jnp.bfloat16) * wq["scale"]).astype(jnp.bfloat16)
     flops = 2 * B * H * F
     for label, fn in [
-        ("dense bf16", lambda xx: xx @ wd),
-        ("W8 fused dequant (operand)", lambda xx: xx @ (wq["w8"].astype(jnp.bfloat16) * wq["scale"])),
-        ("W8 scale-on-output", lambda xx: (xx @ wq["w8"].astype(jnp.bfloat16)) * wq["scale"][0]),
+        ("dense bf16", lambda xx, w, q: xx @ w),
+        ("W8 fused dequant (operand)",
+         lambda xx, w, q: xx @ (q["w8"].astype(jnp.bfloat16) * q["scale"])),
+        ("W8 scale-on-output",
+         lambda xx, w, q: (xx @ q["w8"].astype(jnp.bfloat16)) * q["scale"][0]),
     ]:
-        def run(f=fn):
+        def run(x0, w, q, f=fn):
             def body(i, xx):
-                y = f(xx)
+                y = f(xx, w, q)
                 return xx + (y.sum(-1, keepdims=True) * 1e-9).astype(xx.dtype)
-            return jax.lax.fori_loop(0, ITERS, body, x).sum()
-        per = _time(run, f"single[{label}] [{B},{H}]x[{H},{F}]")
+            return jax.lax.fori_loop(0, ITERS, body, x0).sum()
+        per = _time(run, f"single[{label}] [{B},{H}]x[{H},{F}]", x, wd, wq)
         print(f"   → {flops/per*1e-9:.1f} TFLOP/s, weight stream {H*F/per*1e-6:.0f} GB/s(int8-equiv)",
               flush=True)
 
@@ -165,18 +213,18 @@ def section_head():
     }
     flops = 2 * B * H * V
 
-    def head(xx):
+    def head(xx, emb):
         y = jnp.einsum("bh,vh->bv", xx, emb["w8"].astype(xx.dtype),
                        preferred_element_type=jnp.float32)
         return y * emb["scale"][:, 0].astype(jnp.float32)
 
-    def run():
+    def run(x0, emb):
         def body(i, xx):
-            y = head(xx)
+            y = head(xx, emb)
             return xx + (y.sum(-1, keepdims=True) * 1e-12).astype(xx.dtype)
-        return jax.lax.fori_loop(0, ITERS, body, x).sum()
+        return jax.lax.fori_loop(0, ITERS, body, x0).sum()
 
-    per = _time(run, f"lm_head [{B},{H}]x[{V},{H}]^T W8")
+    per = _time(run, f"lm_head [{B},{H}]x[{V},{H}]^T W8", x, emb)
     print(f"   → {flops/per*1e-9:.1f} TFLOP/s, weight stream {V*H/per*1e-6:.0f} GB/s(int8)",
           flush=True)
 

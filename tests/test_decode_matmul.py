@@ -169,3 +169,165 @@ def test_speculative_verify_blocks_token_exact(monkeypatch):
     assert counter["n"] > 0, "MLP kernel never dispatched — vacuous"
     assert np.asarray(got).tolist() == np.asarray(ref).tolist()
     assert int(np.asarray(iters)) < 16  # blocks actually amortized
+
+
+def test_qkv_and_wo_kernels_match_xla(weights):
+    """fused_qkv_w8 / fused_linear_w8 vs quant.linear per layer."""
+    from vggt_qwen3_tpu.ops import quant
+    from vggt_qwen3_tpu.ops.decode_matmul import fused_linear_w8, fused_qkv_w8
+
+    rng = np.random.default_rng(5)
+    NQ = NKVD = 512
+    wq = _stacked_w8(rng, (L, H, NQ))
+    wk = _stacked_w8(rng, (L, H, NKVD))
+    wv = _stacked_w8(rng, (L, H, NKVD))
+    wo = _stacked_w8(rng, (L, NQ, H))
+    x = jnp.asarray(rng.standard_normal((B, H)) * 0.3, jnp.float32)
+    a = jnp.asarray(rng.standard_normal((B, NQ)) * 0.3, jnp.float32)
+
+    def sl(w, li):
+        return {k: v[li] for k, v in w.items()}
+
+    for li in range(L):
+        q, k, v = fused_qkv_w8(x, wq, wk, wv, li, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(q), np.asarray(quant.linear(x, sl(wq, li))), rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(
+            np.asarray(k), np.asarray(quant.linear(x, sl(wk, li))), rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(quant.linear(x, sl(wv, li))), rtol=2e-5, atol=2e-6)
+        y = fused_linear_w8(a, wo, li, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(quant.linear(a, sl(wo, li))), rtol=2e-5, atol=2e-6)
+
+
+def test_engine_all_kernels_agree(monkeypatch):
+    """With MLP + QKV + WO kernels ALL forced, the engine's greedy tokens
+    stay (near-)identical to the pure-XLA path's and every kernel's dispatch
+    is asserted.
+
+    Tokens are compared with a ≤1% row-divergence allowance, NOT strict
+    equality: a quantized embed makes the residual stream bf16, and the
+    kernels round their silu/mul intermediates to bf16 in a different fused
+    order than XLA does, so random-weight logits drift ~1% and occasionally
+    tie-flip an argmax (observed 0–2 rows of 160). Wiring bugs (wrong layer
+    index, wrong slice) collapse agreement to ~0, which this still catches.
+    Strict TOKEN-EXACT parity is asserted where it matters — on real Mosaic
+    kernels at the production shape — by ``scripts/parity_decode_kernels.py``
+    (run on-chip each bench round: 17,664/17,664 tokens identical with all
+    three kernels live, r5), and at the logits level deterministically by
+    ``test_decode_step_logits_parity_all_kernels`` below. The two engine
+    tests above additionally happen to be token-exact with their seeds."""
+    import vggt_qwen3_tpu.ops.decode_matmul as dm
+    from tests.test_decode_attention import count_dispatch
+    from vggt_qwen3_tpu.inference.engine import GenerationConfig, generate_text
+    from vggt_qwen3_tpu.models import qwen3
+
+    cfg = _engine_cfg()
+    c_mlp = count_dispatch(monkeypatch, dm, "fused_mlp_w8")
+    c_qkv = count_dispatch(monkeypatch, dm, "fused_qkv_w8")
+    c_wo = count_dispatch(monkeypatch, dm, "fused_linear_w8")
+    params = qwen3.quantize_params(
+        qwen3.init_params(jax.random.PRNGKey(2), cfg, dtype="float32"),
+        donate=False,
+    )
+    rng = np.random.default_rng(6)
+    ids = rng.integers(1, 256, (160, 16))
+    mask = np.ones_like(ids)
+    gen_cfg = GenerationConfig(max_new_tokens=16, pad_token_id=0, kv_dtype="int8")
+
+    monkeypatch.setenv("VGGT_DECODE_KERNEL", "force")
+    monkeypatch.setenv("VGGT_DECODE_MATMUL", "0")
+    jax.clear_caches()
+    ref, _ = generate_text(
+        params, cfg, gen_cfg, input_ids=jnp.asarray(ids),
+        attention_mask=jnp.asarray(mask),
+    )
+    assert c_mlp["n"] == c_qkv["n"] == c_wo["n"] == 0
+    monkeypatch.setenv("VGGT_DECODE_MATMUL", "force")
+    jax.clear_caches()
+    got, _ = generate_text(
+        params, cfg, gen_cfg, input_ids=jnp.asarray(ids),
+        attention_mask=jnp.asarray(mask),
+    )
+    assert c_mlp["n"] > 0 and c_qkv["n"] > 0 and c_wo["n"] > 0
+    rows_diff = int((np.asarray(got) != np.asarray(ref)).any(axis=1).sum())
+    assert rows_diff <= 2, f"{rows_diff}/160 rows diverged — wiring bug"
+
+
+def test_decode_step_logits_parity_all_kernels(monkeypatch):
+    """Deterministic wiring proof at the LOGITS level: replicate the
+    engine's prefill + decode step (S=1) + a speculative verify-shaped step
+    (S=4) via ``qwen3.forward`` and compare logits between pure XLA and all
+    fused kernels forced. No argmax → no tie-flip fragility; tight
+    tolerances bound the reassociation noise directly.
+
+    ``embed=False`` keeps the token embedding dense f32 — a quantized embed
+    dequantizes with BF16 scales, making the whole residual stream bf16 even
+    at f32 config, and bf16 elementwise rounding (silu/mul fused differently
+    in the kernel vs XLA) adds ~1% legitimate drift that would drown the
+    wiring signal this test exists to catch (wrong layer index / wrong slice
+    produce O(1) diffs)."""
+    import vggt_qwen3_tpu.ops.decode_matmul as dm
+    from tests.test_decode_attention import count_dispatch
+    from vggt_qwen3_tpu.models import qwen3
+
+    cfg = _engine_cfg()
+    c_mlp = count_dispatch(monkeypatch, dm, "fused_mlp_w8")
+    c_qkv = count_dispatch(monkeypatch, dm, "fused_qkv_w8")
+    c_wo = count_dispatch(monkeypatch, dm, "fused_linear_w8")
+    params = qwen3.quantize_params(
+        qwen3.init_params(jax.random.PRNGKey(2), cfg, dtype="float32"),
+        donate=False, embed=False,
+    )
+    rng = np.random.default_rng(7)
+    B_eng, S = 160, 16
+    ids = jnp.asarray(rng.integers(1, 256, (B_eng, S)))
+    total = S + 16  # T=32 tile-aligned, B·T ≥ 4096 → decode-kernel eligible
+
+    def run():
+        jax.clear_caches()
+        cache = qwen3.init_cache(cfg, B_eng, total, dtype="int8")
+        mask = jnp.zeros((B_eng, total), jnp.int32).at[:, :S].set(1)
+        positions = jnp.arange(S)[None].repeat(B_eng, 0)
+        emb = qwen3.embed_tokens(params, ids)
+        lg0, cache = qwen3.forward(
+            params, cfg, inputs_embeds=emb, attention_mask=mask,
+            positions=positions, cache=cache, cache_offset=0,
+            prefill_padding="left", last_logit_only=True,
+        )
+        # decode step (S=1) — the decode-kernel shape
+        mask = mask.at[:, S].set(1)
+        tok = jnp.argmax(lg0[:, -1], -1)
+        lg1, cache = qwen3.forward(
+            params, cfg, inputs_embeds=qwen3.embed_tokens(params, tok[:, None]),
+            attention_mask=mask, positions=jnp.full((B_eng, 1), S),
+            cache=cache, cache_offset=S, decode_frontier=True,
+        )
+        # verify-shaped step (S=4): per-row offsets + [B, S, T] per-query
+        # frontier mask (query j covers slots < S+2+j) — the speculative
+        # block-verify path
+        blk = jnp.tile(tok[:, None], (1, 4))
+        vmask = (
+            jnp.arange(total)[None, None, :]
+            < (S + 2 + jnp.arange(4))[None, :, None]
+        ).astype(jnp.int32).repeat(B_eng, 0)
+        lg4, _ = qwen3.forward(
+            params, cfg, inputs_embeds=qwen3.embed_tokens(params, blk),
+            attention_mask=vmask,
+            positions=S + 1 + jnp.arange(4)[None].repeat(B_eng, 0),
+            cache=cache, cache_offset=jnp.full((B_eng,), S + 1),
+            decode_frontier=True,
+        )
+        return np.asarray(lg0), np.asarray(lg1), np.asarray(lg4)
+
+    monkeypatch.setenv("VGGT_DECODE_KERNEL", "force")
+    monkeypatch.setenv("VGGT_DECODE_MATMUL", "0")
+    refs = run()
+    assert c_mlp["n"] == c_qkv["n"] == c_wo["n"] == 0
+    monkeypatch.setenv("VGGT_DECODE_MATMUL", "force")
+    gots = run()
+    assert c_mlp["n"] > 0 and c_qkv["n"] > 0 and c_wo["n"] > 0
+    for name, ref, got in zip(("prefill", "decode", "verify"), refs, gots):
+        np.testing.assert_allclose(
+            got, ref, rtol=5e-5, atol=5e-5, err_msg=name)

@@ -127,18 +127,26 @@ def embed_tokens(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
     return emb[input_ids]
 
 
-def _layer_qkv(cfg: Qwen3Config, h, lp, cos, sin):
+def _layer_qkv(cfg: Qwen3Config, h, lp, cos, sin, qkv_fn=None):
     """Pre-attention projections: normed x, rotated q/k, v.
 
     Projections route through :func:`quant.linear` so layers hold either
-    dense bf16 matrices or int8 ``{"w8", "scale"}`` dicts (W8 serving mode).
+    dense bf16 matrices or int8 ``{"w8", "scale"}`` dicts (W8 serving mode);
+    ``qkv_fn`` overrides them with the fused one-launch Pallas kernel
+    (``ops.decode_matmul.fused_qkv_w8``) on kernel-shaped decode steps.
     """
     B, S, _ = h.shape
     D, NH, NKV = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
     x = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
-    q = _maybe_lora(lp, "wq", x, quant.linear(x, lp["wq"])).reshape(B, S, NH, D)
-    k = _maybe_lora(lp, "wk", x, quant.linear(x, lp["wk"])).reshape(B, S, NKV, D)
-    v = _maybe_lora(lp, "wv", x, quant.linear(x, lp["wv"])).reshape(B, S, NKV, D)
+    if qkv_fn is not None:
+        q, k, v = qkv_fn(x)
+        q = q.reshape(B, S, NH, D)
+        k = k.reshape(B, S, NKV, D)
+        v = v.reshape(B, S, NKV, D)
+    else:
+        q = _maybe_lora(lp, "wq", x, quant.linear(x, lp["wq"])).reshape(B, S, NH, D)
+        k = _maybe_lora(lp, "wk", x, quant.linear(x, lp["wk"])).reshape(B, S, NKV, D)
+        v = _maybe_lora(lp, "wv", x, quant.linear(x, lp["wv"])).reshape(B, S, NKV, D)
     q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
     k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
     q = apply_rope(q, cos, sin)
@@ -146,10 +154,13 @@ def _layer_qkv(cfg: Qwen3Config, h, lp, cos, sin):
     return q, k, v
 
 
-def _layer_post_attn(cfg: Qwen3Config, h, lp, attn, mlp_fn=None):
+def _layer_post_attn(cfg: Qwen3Config, h, lp, attn, mlp_fn=None, wo_fn=None):
     B, S, _ = h.shape
     a = attn.reshape(B, S, cfg.num_heads * cfg.head_dim)
-    h = h + _maybe_lora(lp, "wo", a, quant.linear(a, lp["wo"]))
+    if wo_fn is not None:  # fused stacked-W8 kernel (ops/decode_matmul.py)
+        h = h + wo_fn(a)
+    else:
+        h = h + _maybe_lora(lp, "wo", a, quant.linear(a, lp["wo"]))
     x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
     if mlp_fn is not None:  # fused Pallas W8 SwiGLU (ops/decode_matmul.py)
         return h + mlp_fn(x)
@@ -337,6 +348,28 @@ def forward_hidden(
                 and no_mlp_lora
                 and mlp_eligible(B * S, cfg.hidden_size, cfg.intermediate_size)
             )
+        # the qkv/wo projections ride the same switch (fused one-launch
+        # kernels per layer; VGGT_DECODE_QKV=0 / VGGT_DECODE_WO=0 isolate
+        # each for A/B)
+        use_qkv_kernel = use_wo_kernel = False
+        if _mm_on and (use_decode_kernel or use_verify_kernel):
+            from ..ops.decode_matmul import linear_eligible, qkv_eligible
+
+            rows = B * S
+            plain = lambda k: (isinstance(lyr.get(k), dict) and "w8" in lyr[k]
+                               and quant.A8_MARKER not in lyr[k])
+            no_lora = lambda k: "lora" not in lyr or k not in lyr["lora"]
+            use_qkv_kernel = (
+                os.environ.get("VGGT_DECODE_QKV", "1") != "0"
+                and all(plain(k) and no_lora(k) for k in ("wq", "wk", "wv"))
+                and qkv_eligible(rows, cfg.hidden_size, cfg.q_dim, cfg.kv_dim)
+            )
+            use_wo_kernel = (
+                os.environ.get("VGGT_DECODE_WO", "1") != "0"
+                and plain("wo") and no_lora("wo")
+                and linear_eligible(rows, cfg.q_dim, cfg.hidden_size)
+            )
+        interp = jax.default_backend() != "tpu"
         if use_mlp_kernel:
             from ..ops.decode_matmul import fused_mlp_w8
 
@@ -351,12 +384,46 @@ def forward_hidden(
                         x.reshape(Bx * Sx, Hx),
                         stacked_mlp["gate"], stacked_mlp["up"],
                         stacked_mlp["down"], li, block_f=_bf,
-                        interpret=jax.default_backend() != "tpu",
+                        interpret=interp,
                     )
                     return y.reshape(Bx, Sx, Hx)
                 return mlp_fn
         else:
             make_mlp_fn = None
+        if use_qkv_kernel:
+            from ..ops.decode_matmul import fused_qkv_w8
+
+            stacked_qkv = {k: lyr[k] for k in ("wq", "wk", "wv")}
+
+            def make_qkv_fn(li):
+                def qkv_fn(x):
+                    Bx, Sx, Hx = x.shape
+                    q, k, v = fused_qkv_w8(
+                        x.reshape(Bx * Sx, Hx), stacked_qkv["wq"],
+                        stacked_qkv["wk"], stacked_qkv["wv"], li,
+                        interpret=interp,
+                    )
+                    return (q.reshape(Bx, Sx, -1), k.reshape(Bx, Sx, -1),
+                            v.reshape(Bx, Sx, -1))
+                return qkv_fn
+        else:
+            make_qkv_fn = None
+        if use_wo_kernel:
+            from ..ops.decode_matmul import fused_linear_w8
+
+            stacked_wo = lyr["wo"]
+
+            def make_wo_fn(li):
+                def wo_fn(a):
+                    Bx, Sx, Kx = a.shape
+                    y = fused_linear_w8(
+                        a.reshape(Bx * Sx, Kx), stacked_wo, li,
+                        interpret=interp,
+                    )
+                    return y.reshape(Bx, Sx, -1)
+                return wo_fn
+        else:
+            make_wo_fn = None
         if use_decode_kernel:
             from ..ops.decode_attention import gqa_decode_attention
 
@@ -397,7 +464,10 @@ def forward_hidden(
         def body(carry, xs):
             h, c = carry
             lp, li = xs
-            q, k, v = _layer_qkv(cfg, h, lp, cos, sin)
+            q, k, v = _layer_qkv(
+                cfg, h, lp, cos, sin,
+                qkv_fn=make_qkv_fn(li) if make_qkv_fn is not None else None,
+            )
             # single-token in-place writes into the full [L, B, T, NKV, D]
             # carry — only S new entries hit HBM, never a whole layer slice
             if quantized_kv:
@@ -458,18 +528,21 @@ def forward_hidden(
             h = _layer_post_attn(
                 cfg, h, lp, attn,
                 mlp_fn=make_mlp_fn(li) if make_mlp_fn is not None else None,
+                wo_fn=make_wo_fn(li) if make_wo_fn is not None else None,
             )
             return (h, c), None
 
-        scan_layers = params["layers"]
-        if use_mlp_kernel:
-            # the fused kernel reads the STACKED gate/up/down via its
-            # scalar-prefetched layer index — keep them out of the scan xs so
-            # no per-layer weight slice is ever materialized for them
-            scan_layers = {
-                k: v for k, v in scan_layers.items()
-                if k not in ("gate", "up", "down")
-            }
+        # the fused kernels read the STACKED weights via their scalar-
+        # prefetched layer index — keep covered keys out of the scan xs so
+        # no per-layer weight slice is ever materialized for them
+        kernel_keys = (
+            (("gate", "up", "down") if use_mlp_kernel else ())
+            + (("wq", "wk", "wv") if use_qkv_kernel else ())
+            + (("wo",) if use_wo_kernel else ())
+        )
+        scan_layers = {
+            k: v for k, v in params["layers"].items() if k not in kernel_keys
+        }
         (h, new_cache), _ = jax.lax.scan(
             body, (h, dict(cache)), (scan_layers, jnp.arange(L))
         )

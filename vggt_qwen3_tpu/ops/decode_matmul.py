@@ -177,6 +177,171 @@ def fused_mlp_w8(
       down["w8"], down["scale"])
 
 
+def _qkv_kernel(
+    li_ref,
+    x_ref,       # [B, H] (resident)
+    qw_ref,      # [1, H, bq] int8
+    qs_ref,      # [1, 1, bq]
+    kw_ref,      # [1, H, bkv] int8
+    ks_ref,      # [1, 1, bkv]
+    vw_ref,      # [1, H, bkv] int8
+    vs_ref,      # [1, 1, bkv]
+    q_ref,       # [B, bq] out
+    k_ref,       # [B, bkv] out
+    v_ref,       # [B, bkv] out
+):
+    del li_ref
+    x = x_ref[:]
+    dt = x.dtype
+
+    def proj(w_ref, s_ref, out_ref):
+        w = w_ref[0].astype(dt) * s_ref[0].astype(dt)
+        out_ref[:] = jax.lax.dot_general(
+            x, w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
+
+    proj(qw_ref, qs_ref, q_ref)
+    proj(kw_ref, ks_ref, k_ref)
+    proj(vw_ref, vs_ref, v_ref)
+
+
+def qkv_eligible(B: int, H: int, NQ: int, NKV_D: int, grid_n: int = 4) -> bool:
+    """The q and kv projections must tile the same grid with ≥128 lanes."""
+    return (
+        H % 128 == 0
+        and B % 16 == 0
+        and 64 <= B <= 1024
+        and NQ % grid_n == 0
+        and NKV_D % grid_n == 0
+        and (NQ // grid_n) % 128 == 0
+        and (NKV_D // grid_n) % 128 == 0
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("grid_n", "interpret"))
+def fused_qkv_w8(
+    x: jnp.ndarray,
+    wq: dict,
+    wk: dict,
+    wv: dict,
+    li,
+    *,
+    grid_n: int = 4,
+    interpret: bool = False,
+):
+    """The decode QKV trio in ONE launch per layer: q/k/v tiles of one grid
+    step share the VMEM-resident ``x`` and the stacked-weight layer index.
+    Returns ``(q [B, NQ], k [B, NKV·D], v [B, NKV·D])`` in x's dtype."""
+    B, H = x.shape
+    L, _, NQ = wq["w8"].shape
+    NKVD = wk["w8"].shape[2]
+    assert wv["w8"].shape == (L, H, NKVD)
+    bq, bkv = NQ // grid_n, NKVD // grid_n
+    li_arr = jnp.asarray(li, jnp.int32).reshape(1)
+
+    def wspec(b):
+        return pl.BlockSpec((1, H, b), lambda j, li_ref, b=b: (li_ref[0], 0, j))
+
+    def sspec(b):
+        return pl.BlockSpec((1, 1, b), lambda j, li_ref, b=b: (li_ref[0], 0, j))
+
+    return pl.pallas_call(
+        _qkv_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid_n,),
+            in_specs=[
+                pl.BlockSpec((B, H), lambda j, li_ref: (0, 0)),
+                wspec(bq), sspec(bq), wspec(bkv), sspec(bkv),
+                wspec(bkv), sspec(bkv),
+            ],
+            out_specs=(
+                pl.BlockSpec((B, bq), lambda j, li_ref: (0, j)),
+                pl.BlockSpec((B, bkv), lambda j, li_ref: (0, j)),
+                pl.BlockSpec((B, bkv), lambda j, li_ref: (0, j)),
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, NQ), x.dtype),
+            jax.ShapeDtypeStruct((B, NKVD), x.dtype),
+            jax.ShapeDtypeStruct((B, NKVD), x.dtype),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * (NQ + 2 * NKVD),
+            bytes_accessed=H * (NQ + 2 * NKVD) + 2 * B * H,
+            transcendentals=0,
+        ),
+    )(li_arr, x, wq["w8"], wq["scale"], wk["w8"], wk["scale"],
+      wv["w8"], wv["scale"])
+
+
+def _linear_kernel(li_ref, x_ref, w_ref, s_ref, out_ref):
+    del li_ref
+    x = x_ref[:]
+    dt = x.dtype
+    w = w_ref[0].astype(dt) * s_ref[0].astype(dt)
+    out_ref[:] = jax.lax.dot_general(
+        x, w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
+
+
+def linear_eligible(B: int, K: int, N: int, block_n: int = 512) -> bool:
+    return (
+        K % 128 == 0
+        and B % 16 == 0
+        and 64 <= B <= 1024
+        and N % 128 == 0
+        and N % min(block_n, N) == 0
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def fused_linear_w8(
+    x: jnp.ndarray,
+    w: dict,
+    li,
+    *,
+    block_n: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Stacked-weight W8 matmul for one layer: resident x, grid over N tiles,
+    dequant fused into the tile read (the wo projection's kernel)."""
+    B, K = x.shape
+    L, _, N = w["w8"].shape
+    block_n = min(block_n, N)
+    assert N % block_n == 0, (N, block_n)
+    li_arr = jnp.asarray(li, jnp.int32).reshape(1)
+    return pl.pallas_call(
+        _linear_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(N // block_n,),
+            in_specs=[
+                pl.BlockSpec((B, K), lambda j, li_ref: (0, 0)),
+                pl.BlockSpec((1, K, block_n), lambda j, li_ref: (li_ref[0], 0, j)),
+                pl.BlockSpec((1, 1, block_n), lambda j, li_ref: (li_ref[0], 0, j)),
+            ],
+            out_specs=pl.BlockSpec((B, block_n), lambda j, li_ref: (0, j)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * K * N,
+            bytes_accessed=K * N + 2 * B * (K + N),
+            transcendentals=0,
+        ),
+    )(li_arr, x, w["w8"], w["scale"])
+
+
 def mlp_w8_xla(x, gate, up, down, li):
     """The XLA oracle at the same per-layer slice (testing/A-B)."""
     from . import quant
