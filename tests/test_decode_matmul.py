@@ -255,6 +255,83 @@ def test_engine_all_kernels_agree(monkeypatch):
     assert rows_diff <= 2, f"{rows_diff}/160 rows diverged — wiring bug"
 
 
+def test_head_argmax_matches_xla_head():
+    """fused_head_argmax vs the lm_logits factorization + jnp.argmax, on a
+    tied-embedding-layout W8 head. Rows whose top-2 logit gap is below f32
+    reassociation noise are excluded — an argmax there is not well-defined
+    across tilings."""
+    from vggt_qwen3_tpu.ops.decode_matmul import fused_head_argmax
+
+    rng = np.random.default_rng(9)
+    V, Hh, Bh = 1280, 256, 64
+    wf = rng.standard_normal((V, Hh)).astype(np.float32) * 0.05
+    s = np.maximum(np.abs(wf).max(-1, keepdims=True), 1e-8) / 127.0
+    head = {
+        "w8": jnp.asarray(np.clip(np.round(wf / s), -127, 127), jnp.int8),
+        "scale": jnp.asarray(s, jnp.bfloat16),
+    }
+    x = jnp.asarray(rng.standard_normal((Bh, Hh)) * 0.3, jnp.float32)
+    tok, m = fused_head_argmax(x, head, interpret=True)
+    logits = np.asarray(
+        jnp.einsum("bh,vh->bv", x, head["w8"].astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+        * head["scale"][:, 0].astype(jnp.float32)
+    )
+    ref = logits.argmax(-1)
+    top2 = np.sort(logits, -1)
+    decisive = (top2[:, -1] - top2[:, -2]) > 1e-5
+    assert decisive.sum() >= Bh - 2
+    np.testing.assert_array_equal(np.asarray(tok)[decisive], ref[decisive])
+    np.testing.assert_allclose(
+        np.asarray(m)[decisive], logits.max(-1)[decisive], rtol=1e-6)
+
+
+def test_engine_greedy_head_fast_path(monkeypatch):
+    """VGGT_HEAD_KERNEL=force routes engine.generate through the fused
+    head-argmax fast path (token carry, no logits materialization) — tokens
+    must agree with the slow path (≤1% tie-flip allowance, same reasoning as
+    test_engine_all_kernels_agree) and EOS early-stop semantics must hold."""
+    import vggt_qwen3_tpu.ops.decode_matmul as dm
+    from tests.test_decode_attention import count_dispatch
+    from vggt_qwen3_tpu.inference.engine import GenerationConfig, generate_text
+    from vggt_qwen3_tpu.models import qwen3
+
+    cfg = _engine_cfg()
+    c_head = count_dispatch(monkeypatch, dm, "fused_head_argmax")
+    params = qwen3.quantize_params(
+        qwen3.init_params(jax.random.PRNGKey(3), cfg, dtype="float32"),
+        donate=False,
+    )
+    rng = np.random.default_rng(8)
+    ids = rng.integers(1, 256, (160, 16))
+    mask = np.ones_like(ids)
+    # eos present in-vocab: exercises the done/pad semantics of the fast scan
+    gen_cfg = GenerationConfig(
+        max_new_tokens=16, pad_token_id=0, eos_token_id=7, kv_dtype="int8")
+
+    monkeypatch.setenv("VGGT_DECODE_KERNEL", "force")
+    monkeypatch.setenv("VGGT_DECODE_MATMUL", "0")
+    monkeypatch.setenv("VGGT_HEAD_KERNEL", "0")
+    jax.clear_caches()
+    ref, ref_len = generate_text(
+        params, cfg, gen_cfg, input_ids=jnp.asarray(ids),
+        attention_mask=jnp.asarray(mask),
+    )
+    assert c_head["n"] == 0
+    monkeypatch.setenv("VGGT_HEAD_KERNEL", "force")
+    jax.clear_caches()
+    got, got_len = generate_text(
+        params, cfg, gen_cfg, input_ids=jnp.asarray(ids),
+        attention_mask=jnp.asarray(mask),
+    )
+    assert c_head["n"] > 0, "head kernel never dispatched — vacuous"
+    rows_diff = int((np.asarray(got) != np.asarray(ref)).any(axis=1).sum())
+    assert rows_diff <= 2, f"{rows_diff}/160 rows diverged — wiring bug"
+    same = ~(np.asarray(got) != np.asarray(ref)).any(axis=1)
+    np.testing.assert_array_equal(
+        np.asarray(got_len)[same], np.asarray(ref_len)[same])
+
+
 def test_decode_step_logits_parity_all_kernels(monkeypatch):
     """Deterministic wiring proof at the LOGITS level: replicate the
     engine's prefill + decode step (S=1) + a speculative verify-shaped step

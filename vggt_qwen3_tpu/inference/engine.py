@@ -121,6 +121,52 @@ def generate(
     mask = mask.at[:, :S].set(attention_mask.astype(jnp.int32))
     positions = jnp.maximum(jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1, 0)
 
+    # Pure-greedy fast path: with no logit processors and no grammar, the
+    # only consumer of the [B, V] f32 logits is an argmax — route the head
+    # through the fused head-argmax kernel (ops/decode_matmul.py) and carry
+    # the next TOKEN instead of next logits. Token-identical to the slow
+    # path (the kernel's dequant/scale factorization matches lm_logits
+    # bit-for-bit; locked on-chip by scripts/parity_decode_kernels.py).
+    if (
+        constraint is None
+        and gen_cfg.repetition_penalty == 1.0
+        and gen_cfg.no_repeat_ngram == 0
+        and qwen3.greedy_head_eligible(params, cfg, B)
+    ):
+        next_tok, cache = qwen3.forward_greedy(
+            params, cfg, inputs_embeds=inputs_embeds,
+            attention_mask=mask, positions=positions, cache=cache,
+            cache_offset=0, prefill_padding="left",
+        )
+        next_pos = positions[:, -1] + 1
+        done0 = jnp.zeros((B,), bool)
+
+        def fast_step(carry, t):
+            cache, mask, tok, next_pos, done = carry
+            out_tok = jnp.where(done, gen_cfg.pad_token_id, tok)
+            if gen_cfg.eos_token_id is not None:
+                done = done | (tok == gen_cfg.eos_token_id)
+            mask = mask.at[:, S + t].set(1)
+            emb = qwen3.embed_tokens(params, out_tok[:, None])
+            tok_new, cache = qwen3.forward_greedy(
+                params, cfg, inputs_embeds=emb, attention_mask=mask,
+                positions=(next_pos + t)[:, None], cache=cache,
+                cache_offset=S + t, decode_frontier=True,
+            )
+            return (cache, mask, tok_new, next_pos, done), out_tok
+
+        _, toks = jax.lax.scan(
+            fast_step, (cache, mask, next_tok, next_pos, done0), jnp.arange(N)
+        )
+        tokens = jnp.transpose(toks, (1, 0))
+        if gen_cfg.eos_token_id is not None:
+            is_eos = tokens == gen_cfg.eos_token_id
+            seen_eos = jnp.cumsum(is_eos.astype(jnp.int32), -1) - is_eos.astype(jnp.int32)
+            lengths = (seen_eos == 0).astype(jnp.int32).sum(-1)
+        else:
+            lengths = jnp.full((B,), N, jnp.int32)
+        return tokens, lengths
+
     logits, cache = qwen3.forward(
         params, cfg, inputs_embeds=inputs_embeds,
         attention_mask=mask, positions=positions, cache=cache, cache_offset=0,

@@ -712,6 +712,74 @@ def lm_logits(params: Params, cfg: Qwen3Config, hidden: jnp.ndarray) -> jnp.ndar
     return jnp.einsum("bsh,hv->bsv", hidden, w, preferred_element_type=jnp.float32)
 
 
+def greedy_head_eligible(params: Params, cfg: Qwen3Config, B: int) -> bool:
+    """Static gate for the fused head-argmax kernel (ops/decode_matmul.py):
+    tied W8 embedding head, kernel-tileable dims, kernel backend available.
+    env ``VGGT_HEAD_KERNEL``: "1" (default) = on for TPU, "0" = off,
+    "force" = interpreter on any backend (tests)."""
+    _hk = os.environ.get("VGGT_HEAD_KERNEL", "1")
+    if _hk == "0" or not (jax.default_backend() == "tpu" or _hk == "force"):
+        return False
+    if not cfg.tie_word_embeddings or not isinstance(params.get("embed"), dict):
+        return False
+    from ..ops.decode_matmul import head_argmax_eligible
+
+    return head_argmax_eligible(B, cfg.hidden_size, cfg.vocab_size)
+
+
+def greedy_tokens(params: Params, cfg: Qwen3Config, hidden: jnp.ndarray) -> jnp.ndarray:
+    """argmax over the LM head for the LAST position, [B] int32 — via the
+    fused head-argmax kernel when eligible (the [B, V] f32 logits never
+    touch HBM), else the XLA head + argmax. Bit-compatible: the kernel's
+    per-tile dequant/scale factorization matches :func:`lm_logits`
+    element-for-element, so the argmax agrees with XLA's."""
+    if hidden.ndim == 3:
+        hidden = hidden[:, -1]
+    B = hidden.shape[0]
+    if greedy_head_eligible(params, cfg, B):
+        from ..ops.decode_matmul import fused_head_argmax
+
+        tok, _ = fused_head_argmax(
+            hidden, params["embed"],
+            interpret=jax.default_backend() != "tpu",
+        )
+        return tok
+    return jnp.argmax(lm_logits(params, cfg, hidden[:, None])[:, -1], -1).astype(jnp.int32)
+
+
+def forward_greedy(
+    params: Params,
+    cfg: Qwen3Config,
+    *,
+    input_ids: Optional[jnp.ndarray] = None,
+    inputs_embeds: Optional[jnp.ndarray] = None,
+    attention_mask: Optional[jnp.ndarray] = None,
+    positions: Optional[jnp.ndarray] = None,
+    cache: Optional[Dict[str, jnp.ndarray]] = None,
+    cache_offset: int | jnp.ndarray = 0,
+    prefill_padding: Optional[str] = None,
+    decode_frontier: bool = False,
+) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
+    """:func:`forward` for pure greedy decode: returns (next_token [B] int32,
+    cache) instead of logits, routing the head through
+    :func:`greedy_tokens` so eligible shapes skip the logits round-trip."""
+    if inputs_embeds is None:
+        assert input_ids is not None
+        inputs_embeds = embed_tokens(params, input_ids)
+    hidden, new_cache = forward_hidden(
+        params,
+        cfg,
+        inputs_embeds,
+        attention_mask=attention_mask,
+        positions=positions,
+        cache=cache,
+        cache_offset=cache_offset,
+        prefill_padding=prefill_padding,
+        decode_frontier=decode_frontier,
+    )
+    return greedy_tokens(params, cfg, hidden), new_cache
+
+
 def forward(
     params: Params,
     cfg: Qwen3Config,

@@ -342,6 +342,112 @@ def fused_linear_w8(
     )(li_arr, x, w["w8"], w["scale"])
 
 
+def _head_argmax_kernel(
+    x_ref,      # [B, H] (resident)
+    w_ref,      # [bv, H] int8 — one vocab tile of the tied embedding
+    s_ref,      # [bv, 1] bf16 per-vocab-row scales
+    tok_ref,    # [B, 1] int32 out
+    m_ref,      # [B, 1] f32 out (the winning logit, for diagnostics)
+    best_ref,   # VMEM scratch [B, 1] f32 running max
+    idx_ref,    # VMEM scratch [B, 1] int32 running argmax
+):
+    j = pl.program_id(0)
+    bv = w_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _():
+        best_ref[:] = jnp.full_like(best_ref, -jnp.inf)
+        idx_ref[:] = jnp.zeros_like(idx_ref)
+
+    x = x_ref[:]
+    # logits tile with the SAME factorization as lm_logits: int8→x.dtype
+    # convert into the dot, per-row scale on the f32 output — per-element
+    # bits match the XLA head, so the argmax matches XLA's argmax exactly
+    t = jax.lax.dot_general(
+        x, w_ref[:].astype(x.dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, bv]
+    t = t * s_ref[:, 0].astype(jnp.float32)[None, :]
+    tm = jnp.max(t, axis=-1, keepdims=True)          # [B, 1]
+    ta = jnp.argmax(t, axis=-1)[:, None].astype(jnp.int32)
+    cur = best_ref[:]
+    take = tm > cur  # strict: earlier tile wins ties, like jnp.argmax
+    best_ref[:] = jnp.where(take, tm, cur)
+    idx_ref[:] = jnp.where(take, ta + j * bv, idx_ref[:])
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _():
+        tok_ref[:] = idx_ref[:]
+        m_ref[:] = best_ref[:]
+
+
+def head_argmax_eligible(B: int, H: int, V: int) -> bool:
+    """Tile-aligned dims and a batch the resident-x trick pays off for (the
+    B=1 latency path keeps the XLA head). bv is fixed at 128 — the 4B vocab
+    151936 = 128·1187 with 1187 prime, so 128 is the only nontrivial tile."""
+    return H % 128 == 0 and V % 128 == 0 and B % 8 == 0 and 64 <= B <= 1024
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_head_argmax(
+    x: jnp.ndarray,
+    head: dict,
+    *,
+    interpret: bool = False,
+):
+    """Greedy LM head in one pass: W8 dequant-matmul tiles with a running
+    argmax in VMEM — the [B, V] f32 logits (224 MB at the bench shape) never
+    reach HBM and the separate argmax read disappears.
+
+    Args:
+        x: [B, H] final hidden states (post final-norm).
+        head: tied-embedding quantization ``{"w8": [V, H] int8,
+            "scale": [V, 1] bf16}`` (``quantize_params`` row layout).
+    Returns:
+        (tokens [B] int32, max_logit [B] f32).
+
+    Reference economics: the reference's HF ``generate`` materializes full
+    logits then argmaxes (``src/inference/qa_inference.py:207-216``); at
+    368-row batched decode the head is ~10% of the step.
+    """
+    B, H = x.shape
+    V = head["w8"].shape[0]
+    bv = 128
+    assert V % bv == 0, (V, bv)
+    tok, m = pl.pallas_call(
+        _head_argmax_kernel,
+        grid=(V // bv,),
+        in_specs=[
+            pl.BlockSpec((B, H), lambda j: (0, 0)),
+            pl.BlockSpec((bv, H), lambda j: (j, 0)),
+            pl.BlockSpec((bv, 1), lambda j: (j, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((B, 1), lambda j: (0, 0)),
+            pl.BlockSpec((B, 1), lambda j: (0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, 1), jnp.float32),
+            pltpu.VMEM((B, 1), jnp.int32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * V,
+            bytes_accessed=V * H + 2 * B * H,
+            transcendentals=0,
+        ),
+    )(x, head["w8"], head["scale"])
+    return tok[:, 0], m[:, 0]
+
+
 def mlp_w8_xla(x, gate, up, down, li):
     """The XLA oracle at the same per-layer slice (testing/A-B)."""
     from . import quant
