@@ -601,8 +601,12 @@ def train_mode() -> None:
             "mask": jnp.ones((B,), bool),
         }
 
-        def assemble(trainable):
-            p = dict(frozen)
+        def assemble(trainable, fz):
+            # fz is a jit ARGUMENT — closure-capturing the 5 GB frozen tree
+            # bakes it into the HLO as literal constants, which the tunneled
+            # remote-compile helper rejects at ~100 MB (HTTP 413; same bug
+            # the measured cycle hit in c331f67)
+            p = dict(fz)
             p["projector"] = trainable["projector"]
             p["geom"] = trainable["geom"]
             if "lora" in trainable:
@@ -611,12 +615,14 @@ def train_mode() -> None:
                 p["text"] = text
             return p
 
-        def ph_vision(trainable):
-            return vlm.encode_images(assemble(trainable), mcfg, ph_images).sum()
+        def ph_vision(trainable, fz, images):
+            return vlm.encode_images(assemble(trainable, fz), mcfg, images).sum()
 
-        def ph_loss(trainable):
+        def ph_loss(trainable, fz, images):
+            # the ~230 MB image batch rides as an argument for the same
+            # 413-avoidance reason as the frozen tree
             return vlm.train_forward(
-                assemble(trainable), mcfg, images=ph_images, geom_token=ph_geom,
+                assemble(trainable, fz), mcfg, images=images, geom_token=ph_geom,
                 input_ids=ph_input_ids, attention_mask=ph_mask, labels=ph_labels,
                 image_token_id=img_id, rng=jax.random.PRNGKey(1),
             )
@@ -624,12 +630,12 @@ def train_mode() -> None:
         def ph_time(fn, label):
             f = jax.jit(fn)
             t0 = time.time()
-            np.asarray(f(trainable))
+            np.asarray(f(trainable, frozen, ph_images))
             c = time.time() - t0
             ts = []
             for _ in range(3):
                 t0 = time.time()
-                np.asarray(f(trainable))
+                np.asarray(f(trainable, frozen, ph_images))
                 ts.append(time.time() - t0)
             dt = min(ts)
             print(f"train phase [{label}]: {dt:.3f}s (compile {c:.1f}s)",
@@ -649,11 +655,10 @@ def train_mode() -> None:
         trace_dir = os.environ.get("BENCH_TRAIN_TRACE")
         if trace_dir:
             try:
-                grad_fn = jax.jit(jax.value_and_grad(
-                    lambda tr: ph_loss(tr)))
-                np.asarray(grad_fn(trainable)[0])  # compile outside the trace
+                grad_fn = jax.jit(jax.value_and_grad(ph_loss))
+                np.asarray(grad_fn(trainable, frozen, ph_images)[0])  # compile outside the trace
                 with jax.profiler.trace(trace_dir):
-                    loss, grads = grad_fn(trainable)
+                    loss, grads = grad_fn(trainable, frozen, ph_images)
                     np.asarray(loss)
                     del grads
                 import glob
@@ -663,6 +668,11 @@ def train_mode() -> None:
             except Exception as e:  # noqa: BLE001
                 print(f"train trace FAILED on this backend: {e!r}",
                       file=sys.stderr, flush=True)
+        # the phase operands (esp. the ~230 MB image batch) must not stay
+        # live into the measured cycle — CB=2 OOMed with them resident — and
+        # a cycle-OOM re-exec must not re-run the (already printed) phases
+        del ph_images, ph_geom, ph_input_ids, ph_mask, ph_labels
+        os.environ["BENCH_TRAIN_PHASES"] = "0"
 
     # ---- the MEASURED grad-accum cycle: k microbatches + the real optimizer
     # update, one jitted program, update inside the timing. Accumulation is

@@ -303,19 +303,20 @@ def aggregator(
     xs = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1).reshape(-1) + 1
     coords = jnp.stack([ys, xs], axis=-1)  # [Np, 2]
     coords = jnp.concatenate([jnp.zeros((psi, 2), jnp.int32), coords], axis=0)  # [T, 2]
-    rot_mask_frame = jnp.concatenate([jnp.zeros((psi,), bool), jnp.ones((Np,), bool)])
     head_dim = E // cfg.num_heads
     cos_f, sin_f = rope2d_cos_sin(coords[None], head_dim, cfg.rope_freq)  # [1, T, hd/2]
 
     cos_frame = jnp.broadcast_to(cos_f, (B * S,) + cos_f.shape[1:])
     sin_frame = jnp.broadcast_to(sin_f, (B * S,) + sin_f.shape[1:])
-    mask_frame = jnp.broadcast_to(rot_mask_frame[None], (B * S, T))
+    # specials sit at coords (0, 0) → angle 0 → the rotation is exactly the
+    # identity on them, so no rot_mask is needed (apply_rope2d docstring)
+    mask_frame = None
 
     cos_g = jnp.tile(cos_f, (1, S, 1))
     sin_g = jnp.tile(sin_f, (1, S, 1))
     cos_global = jnp.broadcast_to(cos_g, (B,) + cos_g.shape[1:])
     sin_global = jnp.broadcast_to(sin_g, (B,) + sin_g.shape[1:])
-    mask_global = jnp.broadcast_to(jnp.tile(rot_mask_frame, S)[None], (B, S * T))
+    mask_global = None
 
     eps = cfg.layer_norm_eps
 

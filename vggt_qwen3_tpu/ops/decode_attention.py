@@ -66,6 +66,7 @@ def _decode_kernel(
     out_ref,  # [bb, R, D]
     *,
     scale: float,
+    pv_split: bool = False,
 ):
     del li_ref  # only the BlockSpec index maps read it
     bb, R, D = q_ref.shape
@@ -84,8 +85,20 @@ def _decode_kernel(
     i = pl.program_id(0)
     for r in range(bb):  # static unroll; each row = two 2-D dots
         row = i * bb + r
-        q = q_ref[r].astype(jnp.float32)  # [R, D]
-        k = k_ref[0, r].astype(jnp.float32)  # [NKVT, D]
+        q = q_ref[r]  # [R, D]
+        k = k_ref[0, r]  # [NKVT, D]
+        if q.dtype == jnp.bfloat16 and k.dtype == jnp.int8:
+            # int8 K entries are small integers — EXACT in bf16 — and q is
+            # already bf16, so a bf16×bf16 MXU dot with f32 accumulation
+            # produces bit-identical scores to the f32×f32 form (whose
+            # operands are these same exact values upconverted) at ~4× the
+            # f32 matmul rate. The executed QK/PV FLOPs dominate this
+            # kernel's compute (NKV× block-diagonal overcount), so the dot
+            # precision class, not the DMA, sets its speed at bench shapes.
+            k = k.astype(jnp.bfloat16)
+        else:
+            q = q.astype(jnp.float32)
+            k = k.astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -103,12 +116,33 @@ def _decode_kernel(
         l = jnp.sum(p, axis=-1, keepdims=True)
         if vs_ref is not None:
             p = p * vs_ref[0, r : r + 1].astype(jnp.float32)
-        v = v_ref[0, r].astype(jnp.float32)  # [NKVT, D]
-        pv = jax.lax.dot_general(
-            p, v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [R, D]
+        if pv_split and v_ref.dtype == jnp.int8:
+            # Two bf16 passes instead of one f32 dot (which Mosaic runs as
+            # THREE bf16 passes): V is bf16-exact, so splitting the f32
+            # probabilities into a bf16 head + bf16 residual loses only the
+            # residual's own rounding (~2^-16 relative) — ~1.5× faster PV.
+            # Opt-in (VGGT_ATTN_PV_SPLIT): not bit-identical to the XLA
+            # path, so it must clear scripts/parity_decode_kernels.py on
+            # chip before it can default on.
+            vb = v_ref[0, r].astype(jnp.bfloat16)  # [NKVT, D]
+            p_hi = p.astype(jnp.bfloat16)
+            p_lo = (p - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            pv = jax.lax.dot_general(
+                p_hi, vb,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                p_lo, vb,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            v = v_ref[0, r].astype(jnp.float32)  # [NKVT, D]
+            pv = jax.lax.dot_general(
+                p, v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [R, D]
         out_ref[r] = (pv / jnp.maximum(l, 1e-20)).astype(out_ref.dtype)
 
 
@@ -150,7 +184,12 @@ def _call_kernel(
     grid = (B // bb,)
 
     li_arr = jnp.asarray(li, jnp.int32).reshape(1)
-    kernel = functools.partial(_decode_kernel, scale=scale)
+    import os as _os
+
+    kernel = functools.partial(
+        _decode_kernel, scale=scale,
+        pv_split=_os.environ.get("VGGT_ATTN_PV_SPLIT", "0") == "1",
+    )
     if ksf is None:
         kernel = functools.partial(_nq_kernel, kernel)
 

@@ -66,28 +66,25 @@ def _flash_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q_pos = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
-    kv_pos = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
     block_live = True
     if causal:
         # whole block in this q-block's future? skip its work entirely
         block_live = (j * bkv) <= (iq * bq + bq - 1)
+    # This kernel is VPU-bound, not MXU-bound, at the vision/prefill shapes
+    # (measured 36 ms vs a ~10 ms dot floor at [6, 8232, 16, 64]): the cost
+    # is vector passes over the [bq, bkv] f32 score tile. Most blocks need
+    # NO mask at all — the row frontier covers them entirely (vision
+    # sequences are unpadded: start 0, end T, non-causal; interior blocks of
+    # causal prefill likewise) — so the iota/compare/select passes (~5 of
+    # the ~11 per-tile passes) run only on boundary blocks. The frontier is
+    # scalar per (row, block), so full-validity is a scalar predicate.
+    # Bit-identical: where(all-true, s, ·) ≡ s.
+    full_rows = (j * bkv >= start_ref[b]) & ((j + 1) * bkv <= end_ref[b])
+    if causal:
+        # entire block strictly below the diagonal for every query row
+        full_rows = full_rows & ((j + 1) * bkv - 1 <= iq * bq)
 
-    @pl.when(block_live)
-    def _():
-        q = q_ref[0, 0].astype(jnp.float32) * scale  # [bq, D]
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        s = jax.lax.dot_general(
-            q, k.astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [bq, bkv]
-        valid = (kv_pos >= start_ref[b]) & (kv_pos < end_ref[b])
-        if causal:
-            valid = valid & (kv_pos <= q_pos)
-        s = jnp.where(valid, s, NEG_INF)
-
+    def update(s, v):
         m_prev = m_ref[:]
         l_prev = l_ref[:]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -101,6 +98,30 @@ def _flash_kernel(
         )
         acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:] = m_new
+
+    def scores():
+        # QK at the NATIVE input precision with f32 accumulation: q/k are
+        # bf16 in every production path and bf16-exact values gain nothing
+        # from an f32 upcast; the scale folds onto the f32 scores (one f32
+        # rounding instead of one per q element).
+        return jax.lax.dot_general(
+            q_ref[0, 0], k_ref[0, 0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [bq, bkv]
+
+    @pl.when(block_live & full_rows)
+    def _():
+        update(scores(), v_ref[0, 0])
+
+    @pl.when(block_live & jnp.logical_not(full_rows))
+    def _():
+        q_pos = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
+        kv_pos = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+        valid = (kv_pos >= start_ref[b]) & (kv_pos < end_ref[b])
+        if causal:
+            valid = valid & (kv_pos <= q_pos)
+        update(jnp.where(valid, scores(), NEG_INF), v_ref[0, 0])
 
     @pl.when(j == num_kv - 1)
     def _():
@@ -357,39 +378,54 @@ def _flash_bwd_dq_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q_pos = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
-    kv_pos = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
     block_live = (j * bkv) <= (iq * bq + bq - 1) if causal else True
+    # same boundary-only masking as the forward kernel (see _flash_kernel):
+    # fully-covered blocks skip the iota/compare/select passes AND the
+    # dead-row guard (a row inside a fully-covered block cannot be dead)
+    full_rows = (j * bkv >= start_ref[b]) & ((j + 1) * bkv <= end_ref[b])
+    if causal:
+        full_rows = full_rows & ((j + 1) * bkv - 1 <= iq * bq)
 
-    @pl.when(block_live)
-    def _():
-        q = q_ref[0, 0].astype(jnp.float32) * scale
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        do = do_ref[0, 0].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
+    def scores():
+        # native-precision QK recompute — bit-matches the forward's score
+        # path (dot(q, k)·scale at input precision) at the bf16 MXU rate
+        return jax.lax.dot_general(
+            q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+    def work(p):
+        # do·v at native precision; the f32 ds·k dot keeps dq's precision
+        dp = jax.lax.dot_general(
+            do_ref[0, 0], v_ref[0, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        ds = p * (dp - delta_ref[0, 0, :, :1])
+        acc_ref[:] += jax.lax.dot_general(
+            ds, k_ref[0, 0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    lse_row = lse_ref[0, 0, :, :1]  # [bq, 1]
+
+    @pl.when(block_live & full_rows)
+    def _():
+        work(jnp.exp(scores() - lse_row))
+
+    @pl.when(block_live & jnp.logical_not(full_rows))
+    def _():
+        q_pos = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
+        kv_pos = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
         valid = (kv_pos >= start_ref[b]) & (kv_pos < end_ref[b])
         if causal:
             valid = valid & (kv_pos <= q_pos)
-        s = jnp.where(valid, s, NEG_INF)
-        lse_row = lse_ref[0, 0, :, :1]  # [bq, 1]
+        s = jnp.where(valid, scores(), NEG_INF)
         p = jnp.exp(s - lse_row)  # [bq, bkv]; 0 on invalid entries
         # dead rows (no valid kv): lse stays NEG_INF and f32 absorption makes
         # exp(s - lse) = 1, not a probability — zero them out. Their true
         # cotangents are always 0 (padding rows are loss-masked).
         p = jnp.where(lse_row <= NEG_INF * 0.5, 0.0, p)
-        dp = jax.lax.dot_general(
-            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - delta_ref[0, 0, :, :1])
-        acc_ref[:] += jax.lax.dot_general(
-            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        work(p)
 
     @pl.when(j == num_kv - 1)
     def _():
@@ -416,42 +452,57 @@ def _flash_bwd_dkv_kernel(
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    q_pos = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
-    kv_pos = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
     block_live = (j * bkv) <= (iq * bq + bq - 1) if causal else True
+    full_rows = (j * bkv >= start_ref[b]) & ((j + 1) * bkv <= end_ref[b])
+    if causal:
+        full_rows = full_rows & ((j + 1) * bkv - 1 <= iq * bq)
 
-    @pl.when(block_live)
-    def _():
-        q = q_ref[0, 0].astype(jnp.float32) * scale
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        do = do_ref[0, 0].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
+    def scores():
+        return jax.lax.dot_general(
+            q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        valid = (kv_pos >= start_ref[b]) & (kv_pos < end_ref[b])
-        if causal:
-            valid = valid & (kv_pos <= q_pos)
-        s = jnp.where(valid, s, NEG_INF)
-        lse_row = lse_ref[0, 0, :, :1]
-        p = jnp.exp(s - lse_row)  # [bq, bkv]
-        p = jnp.where(lse_row <= NEG_INF * 0.5, 0.0, p)  # dead rows (see dq kernel)
+        ) * scale
+
+    def work(p):
+        # same precision scheme as the dq kernel: QK recompute and do·v at
+        # native (bf16) precision, f32 dots only where an f32 operand (p/ds)
+        # carries real mantissa; scale folds onto s and onto dk at the end
+        do = do_ref[0, 0]
         dv_acc[:] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p, do.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )  # p^T @ do → [bkv, D]
         dp = jax.lax.dot_general(
-            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            do, v_ref[0, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         ds = p * (dp - delta_ref[0, 0, :, :1])
         dk_acc[:] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # ds^T @ (q·scale) → [bkv, D]
+            ds, q_ref[0, 0].astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # ds^T @ q → [bkv, D] (× scale on flush)
+
+    lse_row = lse_ref[0, 0, :, :1]
+
+    @pl.when(block_live & full_rows)
+    def _():
+        work(jnp.exp(scores() - lse_row))
+
+    @pl.when(block_live & jnp.logical_not(full_rows))
+    def _():
+        q_pos = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
+        kv_pos = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+        valid = (kv_pos >= start_ref[b]) & (kv_pos < end_ref[b])
+        if causal:
+            valid = valid & (kv_pos <= q_pos)
+        s = jnp.where(valid, scores(), NEG_INF)
+        p = jnp.exp(s - lse_row)  # [bq, bkv]
+        p = jnp.where(lse_row <= NEG_INF * 0.5, 0.0, p)  # dead rows (see dq kernel)
+        work(p)
 
     @pl.when(t == num_t - 1)
     def _():
-        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dk_ref[0, 0] = (dk_acc[:] * scale).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 

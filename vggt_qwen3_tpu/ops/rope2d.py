@@ -51,30 +51,41 @@ def rope2d_cos_sin(
 
 
 def apply_rope2d(
-    x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray, rot_mask: jnp.ndarray
+    x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
+    rot_mask: "jnp.ndarray | None",
 ) -> jnp.ndarray:
     """croco-convention 2D rope: axial halves, rotate-half pairing per half.
+
+    Computed as ``x·cosF + rothalf(x)·sinF`` with FULL-WIDTH (D-lane) tables
+    instead of eight D/4-wide multiplies: the quarter-width slices are 16
+    lanes at VGGT's D=64, which wastes 7/8 of every vector register — the
+    train-step trace put this op at ~0.34 s of a 3.6 s micro. Bit-identical:
+    ``a − b ≡ a + (−b)`` in IEEE, and the full-width tables are the same
+    per-element cos/sin values.
 
     Args:
         x: [B, T, H, D].
         cos/sin: [B, T, D//2] (broadcast over heads) — y angles ∥ x angles.
         rot_mask: [B, T] bool — False rows (special tokens) pass through.
-            (The public code rotates specials by position (0,0); angle 0 is
-            the identity, so masking is numerically identical.)
+            Pass ``None`` when special tokens carry coordinates (0, 0): a
+            rotation by angle 0 is exactly the identity (cos 1 · x + sin 0 ·
+            h, both IEEE-exact), so the mask is redundant there and skipping
+            it saves a full-size select.
     """
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     D = xf.shape[-1]
     q = D // 4
-    c = cos[:, :, None, :]
-    s = sin[:, :, None, :]
+    c = cos[:, :, None, :].astype(jnp.float32)
+    s = sin[:, :, None, :].astype(jnp.float32)
     cy, cx = c[..., :q], c[..., q:]
     sy, sx = s[..., :q], s[..., q:]
+    cos_full = jnp.concatenate([cy, cy, cx, cx], axis=-1)  # [B, T, 1, D]
+    sin_full = jnp.concatenate([sy, sy, sx, sx], axis=-1)
     y1, y2 = xf[..., :q], xf[..., q : 2 * q]          # y half (rotate-half pair)
     x1, x2 = xf[..., 2 * q : 3 * q], xf[..., 3 * q :]  # x half
-    rot = jnp.concatenate(
-        [y1 * cy - y2 * sy, y2 * cy + y1 * sy,
-         x1 * cx - x2 * sx, x2 * cx + x1 * sx], axis=-1
-    )
-    out = jnp.where(rot_mask[:, :, None, None], rot, xf)
-    return out.astype(dtype)
+    half = jnp.concatenate([-y2, y1, -x2, x1], axis=-1)
+    rot = xf * cos_full + half * sin_full
+    if rot_mask is not None:
+        rot = jnp.where(rot_mask[:, :, None, None], rot, xf)
+    return rot.astype(dtype)
