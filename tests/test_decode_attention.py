@@ -128,6 +128,29 @@ def test_eligibility_gate():
     assert not decode_attention_eligible(368, 32, 8, 152, 128, jnp.bfloat16)
 
 
+def test_block_b_tile_legality():
+    """The r5 profile_serve crash shape: a 16-slot engine with a 288-token
+    budget (NKV·T = 2304) made the VMEM budget pick bb=4, whose
+    ``(1, 4, 2304)`` scale block Mosaic rejects (second-to-last dim must be
+    a multiple of 8 or the full batch). The picker must now return a legal
+    block (8, via the relaxed 5.5 MB tier) — and shapes where no legal
+    block fits VMEM must fail eligibility so the XLA path serves them."""
+    from vggt_qwen3_tpu.ops.decode_attention import _pick_block_b
+
+    # the crash shape: B=16 slots, NKV=8, T=288 → bb must be 8, not 4
+    assert _pick_block_b(16, 8 * 288, 128, 1) == 8
+    assert decode_attention_eligible(16, 32, 8, 288, 128, jnp.int8)
+    # sub-8 batches: the whole-batch block is legal (block == array dim)
+    assert _pick_block_b(4, 8 * 288, 128, 1) == 4
+    # no legal block fits VMEM (bf16 cache, 2048-token rows) → ineligible
+    assert _pick_block_b(16, 8 * 2048, 128, 2) is None
+    assert not decode_attention_eligible(16, 32, 8, 2048, 128, jnp.bfloat16)
+    # every returned block is tile-legal by construction
+    for b in (8, 16, 24, 368):
+        bb = _pick_block_b(b, 8 * 160, 128, 1)
+        assert bb is not None and b % bb == 0 and (bb % 8 == 0 or bb == b)
+
+
 def _engine_cfg(seed=0):
     """Kernel-ELIGIBLE engine dims: num_kv_heads=4 so NKV·T = 4·32 = 128
     satisfies the (NKV·T) % 128 flatten constraint — with num_kv_heads=2 the

@@ -146,29 +146,44 @@ def _decode_kernel(
         out_ref[r] = (pv / jnp.maximum(l, 1e-20)).astype(out_ref.dtype)
 
 
-def _pick_block_b(B: int, NKVT: int, D: int, itemsize: int) -> int:
-    """Largest row-block dividing B whose double-buffered K+V slabs stay
-    within a ~4 MB VMEM budget (scores/temps and the unroll need the rest of
-    the ~16 MB)."""
-    for bb in (8, 4, 2, 1):
-        if B % bb == 0 and 2 * bb * NKVT * D * itemsize <= 4 * 1024 * 1024:
-            return bb
-    return 1
+def _pick_block_b(B: int, NKVT: int, D: int, itemsize: int) -> Optional[int]:
+    """Largest TILE-LEGAL row-block dividing B whose K+V slabs fit VMEM.
+
+    Legality: the int8-cache scale operands are blocked ``(1, bb, NKVT)``,
+    and Mosaic requires a block's last two dims to be (multiple of 8,
+    multiple of 128) or equal to the array dims — so ``bb`` must be a
+    multiple of 8 or the whole batch. (bb = 4 at a 16-slot serve engine with
+    a 288-token budget was the round-5 crash this guards against.)
+
+    Budget tiers: prefer K+V blocks within ~4 MB (the pipeline double-buffers
+    them, and scores/temps plus the row unroll need the rest of the ~16 MB
+    VMEM); marginal shapes may stretch to 5.5 MB (~11 MB double-buffered)
+    before falling back to the XLA path via a ``None`` return."""
+    legal = [8] if B % 8 == 0 else ([B] if B < 8 else [])
+    # (B < 8: a block equal to the full array dim is always legal)
+    for budget in (4, 5.5):
+        for bb in legal:
+            if 2 * bb * NKVT * D * itemsize <= budget * 1024 * 1024:
+                return bb
+    return None
 
 
 def decode_attention_eligible(
     B: int, NH: int, NKV: int, T: int, D: int, kv_dtype
 ) -> bool:
     """Static gate for the fused kernel: lane-exact head dim, tile-aligned T
-    (the [NKV, T] flatten must be a layout no-op), and a cache big enough for
-    the kernel's fixed costs to amortize."""
-    sublane = {1: 32, 2: 16, 4: 8}[jnp.dtype(kv_dtype).itemsize]
+    (the [NKV, T] flatten must be a layout no-op), a cache big enough for
+    the kernel's fixed costs to amortize, and a tile-legal row block that
+    fits the VMEM budget (else the XLA einsum path serves the shape)."""
+    itemsize = jnp.dtype(kv_dtype).itemsize
+    sublane = {1: 32, 2: 16, 4: 8}[itemsize]
     return (
         D == 128
         and NH % NKV == 0
         and T % sublane == 0
         and (NKV * T) % 128 == 0
         and B * T >= 4096  # tiny caches: XLA path is already fine
+        and _pick_block_b(B, NKV * T, D, itemsize) is not None
     )
 
 
@@ -181,6 +196,15 @@ def _call_kernel(
     B, R, D = q2.shape
     NKVT = kf.shape[2]
     bb = block_b or _pick_block_b(B, NKVT, D, kf.dtype.itemsize)
+    # Mosaic tile legality for the (1, bb, NKVT) scale blocks — interpret
+    # mode (CPU tests) deliberately runs smaller bbs to cover the grid loop
+    if not interpret:
+        assert bb is not None and B % bb == 0 and (bb % 8 == 0 or bb == B), (
+            f"illegal row block bb={bb} for B={B} NKVT={NKVT} — "
+            "decode_attention_eligible should have routed this shape to XLA"
+        )
+    if bb is None:  # interpret-mode only (no VMEM budget to respect)
+        bb = B if B < 8 else 8
     grid = (B // bb,)
 
     li_arr = jnp.asarray(li, jnp.int32).reshape(1)
