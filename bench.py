@@ -812,7 +812,11 @@ def train_mode() -> None:
     )
     if tiny:
         flops = 1.0  # MFU meaningless on toy dims
-    peak = 197e12  # v5e bf16 spec
+    peak = 197e12  # v5e bf16 spec (comparable across rounds)
+    # delivered-peak conversion: scripts/peak_probe.py measured this tunneled
+    # chip at 88.9 TFLOP/s bf16 (45% of spec) — the spec-MFU understates how
+    # much of the attached hardware the step actually uses by that factor
+    delivered = 88.9e12
     mfu = flops / micro_s / peak
     tok_s = accum * text_tokens / step_s
     print(
@@ -825,7 +829,9 @@ def train_mode() -> None:
         f"recipe step at B={B_target}"
         + ("" if B == B_target else " (per-sample projection)")
         + f": {step_s:.1f}s, "
-        f"text tok/s={tok_s:.0f} MFU={mfu*100:.1f}% "
+        f"text tok/s={tok_s:.0f} MFU={mfu*100:.1f}% vs v5e spec "
+        f"({flops / micro_s / delivered * 100:.1f}% vs this chip's measured "
+        f"88.9 TFLOP/s delivered peak) "
         f"30k steps ≈ {step_s*30000/3600:.1f} h/chip-equivalent; v5e-8 dp8 ≈ same "
         f"step time at 8× global batch",
         file=sys.stderr, flush=True,
