@@ -80,11 +80,15 @@ def main():
 
     results = {}
     for label, cons in [("classic", None), (f"constrained[{STATES} states]", constraint)]:
+        t0 = time.time()
         eng = fill_engine(cons)
+        print(f"{label}: engine filled ({time.time()-t0:.1f}s)", flush=True)
         # compile once
+        t0 = time.time()
         eng.state, snap = _decode_chunk(
             params, eng.state, cfg, gen_cfg, CHUNK, eng.constraint, frontier=True)
         np.asarray(snap)
+        print(f"{label}: chunk compiled ({time.time()-t0:.1f}s)", flush=True)
         times = []
         for _ in range(STEPS):
             t0 = time.time()
