@@ -5,7 +5,12 @@ Mosaic-compiled kernels at a production-like shape (B=368, prompt 32,
 48 greedy steps, W8 + int8 KV). jax.clear_caches() between modes keeps the
 env-flag A/B honest (env is read at trace time; jit keys ignore it).
 
-PARITY_MODES: comma list of VGGT_DECODE_MATMUL values (default "0,1");
+PARITY_MODES: comma list of "<matmul>:<head>" env pairs
+(VGGT_DECODE_MATMUL : VGGT_HEAD_KERNEL). Default "0:0,1:0,1:1" chains
+all-XLA → matmul kernels → matmul + fused LM-head-argmax (the pure-greedy
+fast path carries TOKENS, not logits, so the head kernel needs its own
+A/B leg — with it on in both legs a matmul-only A/B never compares it to
+the XLA head). A bare "0,1" still works (head stays at its default).
 VGGT_DECODE_KERNEL stays at its default (on for TPU).
 """
 
@@ -33,7 +38,7 @@ PROMPT = int(os.environ.get("PARITY_PROMPT", "32"))
 
 
 def main() -> None:
-    modes = os.environ.get("PARITY_MODES", "0,1").split(",")
+    modes = os.environ.get("PARITY_MODES", "0:0,1:0,1:1").split(",")
     print(f"parity: B={B} steps={STEPS} modes={modes} "
           f"backend={jax.default_backend()}", flush=True)
 
@@ -54,7 +59,10 @@ def main() -> None:
 
     outs = {}
     for mode in modes:
-        os.environ["VGGT_DECODE_MATMUL"] = mode
+        mm, _, hk = mode.partition(":")
+        os.environ["VGGT_DECODE_MATMUL"] = mm
+        if hk:
+            os.environ["VGGT_HEAD_KERNEL"] = hk
         jax.clear_caches()
         t0 = time.time()
         toks, _ = generate(params, CFG, gen_cfg, inputs_embeds=embeds,
