@@ -32,7 +32,7 @@ run() {  # run <name> <timeout_s> <cmd...>
   probe || { echo "RELAY DEAD, skipping $name" | tee -a outputs/bench_r5/$name.log; return 1; }
   echo "=== $name $(date) ===" | tee -a outputs/bench_r5/$name.log
   timeout "$tmo" "$@" 2>&1 | tee -a outputs/bench_r5/$name.log
-  echo "rc=$? $(date)" | tee -a outputs/bench_r5/$name.log
+  echo "rc=${PIPESTATUS[0]} $(date)" | tee -a outputs/bench_r5/$name.log
 }
 
 # 1. delivered-peak calibration (cheap; anchors every ×-off-ideal claim)
