@@ -932,10 +932,19 @@ def serve_mode() -> None:
         lo = max(1, new_tokens // 4)
         budgets.append(lo + i % (new_tokens - lo + 1))
 
-    # warmup: compile admit + decode-chunk once
-    fut = eng.submit_embeds(*prompts[0][:2], lookup_ids=prompts[0][2] if spec else None)
+    # warmup: one full closed pass (same protocol as serve_sla's capacity
+    # probe) — bucket-batched admission dispatches in power-of-two groups
+    # (A ∈ {1,2,4,8,16}, slots.py _admit_pending), so a single-request warmup
+    # leaves four admit-batch shapes compiling INSIDE the timed window
+    # (measured: 3.0 req/s cold vs warm steady state; a production engine
+    # precompiles its shape buckets the same way)
+    warm = [eng.submit_embeds(e, m, max_new_tokens=b,
+                              lookup_ids=lids if spec else None)
+            for (e, m, lids), b in zip(prompts[: 4 * slots],
+                                       budgets[: 4 * slots])]
     eng.run_until_idle()
-    fut.result(timeout=60)
+    for fut in warm:
+        fut.result(timeout=600)
     eng.stats.requests = eng.stats.chunks = eng.stats.tokens = 0
     eng.stats.admitted_mid_decode = eng.stats.admit_dispatches = 0
     eng.stats.admission_wait_s = 0.0
